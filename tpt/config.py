@@ -1,0 +1,66 @@
+"""One dataclass holding every knob the reference scatters across CLI flags,
+JSON fields, and compile-time #defines (SURVEY.md §5 'Config / flag system').
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from enum import IntEnum
+
+
+class RenderMode(IntEnum):
+    MEGAKERNEL = 0
+    WAVEFRONT = 1
+
+
+class DisplayMode(IntEnum):
+    RESULT = 0
+    NORMAL = 1
+    DEPTH = 2
+    ALBEDO = 3
+    MOTION_VECTOR = 4
+
+
+class RayCastBackend(IntEnum):
+    """Pluggable ray-cast backend seam (the reference swaps software LBVH for
+    OptiX behind one stage interface — SURVEY.md C9/C13). On TPU the seam is
+    XLA-while-loop traversal vs. the Pallas traversal kernel, plus brute
+    force for tiny scenes/tests."""
+
+    BRUTE_FORCE = 0
+    BVH_XLA = 1
+    BVH_PALLAS = 2
+
+
+@dataclass(frozen=True)
+class SVGFConfig:
+    sigma_z: float = 1.0
+    sigma_n: float = 128.0
+    sigma_l: float = 4.0
+    atrous_iterations: int = 5
+    history_threshold: int = 4  # frames of history before temporal variance
+    temporal_alpha_min: float = 0.1
+    demodulate_threshold: float = 0.01
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    mode: RenderMode = RenderMode.WAVEFRONT
+    backend: RayCastBackend = RayCastBackend.BVH_XLA
+    trace_depth: int = 8
+    iterations: int = 120  # headless default matches reference main.cpp:213
+    denoiser_on: bool = False
+    display: DisplayMode = DisplayMode.RESULT
+    jitter: bool = True
+    gamma: float = 2.2
+    epsilon: float = 1e-3
+    max_materials: int = 512
+    max_textures: int = 512
+    svgf: SVGFConfig = field(default_factory=SVGFConfig)
+    # TPU knobs
+    use_bfloat16_shading: bool = False
+    bvh_stack_depth: int = 32
+    russian_roulette: bool = False  # reference stub is empty (pathtrace.cu:437)
+
+    def with_(self, **kw) -> "RenderConfig":
+        return replace(self, **kw)

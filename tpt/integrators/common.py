@@ -1,0 +1,132 @@
+"""Shared integrator machinery: surface-property fetch (normal mapping, UV
+interpolation, texture application), the pluggable ray-cast backend seam,
+and radiance accumulation helpers.
+
+Mirrors GetSurfaceProperties (/root/reference/src/common/cuda_utilities.h:
+279-326) and the texture application in the shading kernels
+(/root/reference/src/kernels/shading.cu:108-116).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RayCastBackend, RenderConfig
+from ..core.vec import Vec3, where as vwhere
+from ..materials.bsdf import MaterialLanes
+from ..scene.structs import MeshData, SceneData, TextureAtlas
+from ..scene.texture import sample_atlas
+from .intersect import (
+    HitRecord,
+    brute_force_any_hit,
+    brute_force_closest_hit,
+)
+
+
+@dataclass(frozen=True)
+class Raycaster:
+    """Pluggable ray-cast backend behind one stage interface (the TPU
+    analogue of the reference's software-LBVH vs OptiX seam, SURVEY.md C9/C13)."""
+
+    closest_hit: Callable[..., HitRecord]
+    any_hit: Callable[..., jnp.ndarray]
+    name: str = "brute_force"
+
+
+def make_raycaster(scene: SceneData, cfg: RenderConfig) -> Raycaster:
+    if cfg.backend == RayCastBackend.BRUTE_FORCE or scene.bvh is None:
+        return Raycaster(
+            closest_hit=lambda o, d, t_max=None: brute_force_closest_hit(scene.mesh, o, d, t_max),
+            any_hit=lambda o, d, t_max: brute_force_any_hit(scene.mesh, o, d, t_max),
+            name="brute_force",
+        )
+    if cfg.backend == RayCastBackend.BVH_PALLAS:
+        from ..bvh.pallas_traverse import pallas_closest_hit, pallas_any_hit
+
+        return Raycaster(
+            closest_hit=lambda o, d, t_max=None: pallas_closest_hit(scene.mesh, scene.bvh, o, d, t_max),
+            any_hit=lambda o, d, t_max: pallas_any_hit(scene.mesh, scene.bvh, o, d, t_max),
+            name="bvh_pallas",
+        )
+    from ..bvh.traverse import bvh_closest_hit, bvh_any_hit
+
+    return Raycaster(
+        closest_hit=lambda o, d, t_max=None: bvh_closest_hit(
+            scene.mesh, scene.bvh, o, d, t_max, stack_depth=cfg.bvh_stack_depth),
+        any_hit=lambda o, d, t_max: bvh_any_hit(scene.mesh, scene.bvh, o, d, t_max),
+        name="bvh_xla",
+    )
+
+
+def interpolate_surface(mesh: MeshData, tri: jnp.ndarray, bu: jnp.ndarray,
+                        bv: jnp.ndarray):
+    """Barycentric interpolation of shading normal, tangent and UV at hits.
+    Weights: w = 1-u-v on v0, u on v1, v on v2 (reference convention)."""
+    tri_c = jnp.maximum(tri, 0)
+    i0 = jnp.take(mesh.i0, tri_c, mode="clip")
+    i1 = jnp.take(mesh.i1, tri_c, mode="clip")
+    i2 = jnp.take(mesh.i2, tri_c, mode="clip")
+    w = 1.0 - bu - bv
+
+    n = (mesh.normals.take(i0) * w + mesh.normals.take(i1) * bu
+         + mesh.normals.take(i2) * bv).normalize()
+    tang = (mesh.tangents.take(i0) * w + mesh.tangents.take(i1) * bu
+            + mesh.tangents.take(i2) * bv)
+    uu = (jnp.take(mesh.uv_u, i0, mode="clip") * w
+          + jnp.take(mesh.uv_u, i1, mode="clip") * bu
+          + jnp.take(mesh.uv_u, i2, mode="clip") * bv)
+    vv = (jnp.take(mesh.uv_v, i0, mode="clip") * w
+          + jnp.take(mesh.uv_v, i1, mode="clip") * bu
+          + jnp.take(mesh.uv_v, i2, mode="clip") * bv)
+    return n, tang, uu, vv
+
+
+def get_surface_properties(mesh: MeshData, atlas: TextureAtlas,
+                           mats: MaterialLanes, tri, bu, bv):
+    """Shading normal (normal-mapped when the material has one) + UV."""
+    n_shading, tang, uu, vv = interpolate_surface(mesh, tri, bu, bv)
+
+    has_nm = mats.tex_normal >= 0
+    # TBN: B = normalize(N x T_interp); T = B x N  (reference order)
+    b = n_shading.cross(tang).normalize()
+    t = b.cross(n_shading)
+    nm_rgb, _ = sample_atlas(atlas, mats.tex_normal, uu, vv)
+    mapped = Vec3(nm_rgb.x * 2.0 - 1.0, nm_rgb.y * 2.0 - 1.0, nm_rgb.z * 2.0 - 1.0)
+    n_mapped = (t * mapped.x + b * mapped.y + n_shading * mapped.z).normalize()
+
+    n_out = vwhere(has_nm, n_mapped, n_shading)
+    return n_out, uu, vv
+
+
+def apply_material_textures(mats: MaterialLanes, atlas: TextureAtlas, uu, vv
+                            ) -> MaterialLanes:
+    """basecolor *= degamma(diffuse tex); roughness *= rm.g; metallic *= rm.b."""
+    diff_rgb, _ = sample_atlas(atlas, mats.tex_diffuse, uu, vv)
+    has_diff = mats.tex_diffuse >= 0
+    degamma = Vec3(diff_rgb.x ** 2.2, diff_rgb.y ** 2.2, diff_rgb.z ** 2.2)
+    basecolor = vwhere(has_diff, mats.basecolor * degamma, mats.basecolor)
+
+    rm_rgb, _ = sample_atlas(atlas, mats.tex_metallic_roughness, uu, vv)
+    has_rm = mats.tex_metallic_roughness >= 0
+    roughness = jnp.where(has_rm, mats.roughness * rm_rgb.y, mats.roughness)
+    metallic = jnp.where(has_rm, mats.metallic * rm_rgb.z, mats.metallic)
+
+    return MaterialLanes(
+        basecolor=basecolor, metallic=metallic, roughness=roughness,
+        emittance=mats.emittance, ior=mats.ior, mtype=mats.mtype,
+        tex_diffuse=mats.tex_diffuse,
+        tex_metallic_roughness=mats.tex_metallic_roughness,
+        tex_normal=mats.tex_normal,
+    )
+
+
+def oriented_geom_normal(mesh: MeshData, tri, wo: Vec3) -> Vec3:
+    """Face normal flipped into the viewer hemisphere (reference: shading.cu
+    'Ng always faces the observer')."""
+    ng = mesh.geom_normals.take(jnp.maximum(tri, 0))
+    flip = ng.dot(wo) < 0.0
+    return vwhere(flip, -1.0 * ng, ng)

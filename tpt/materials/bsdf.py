@@ -1,0 +1,300 @@
+"""Lane-parallel BSDF library: eval / pdf / sample for the four material
+classes (MicrofacetPBR GGX, Lambertian diffuse, perfect mirror, dielectric
+refraction), with the reference's conventions (/root/reference/src/
+interactions.cu): Cook-Torrance with Schlick Fresnel and Smith-GGX k=(r+1)^2/8,
+lobe-mixed PBR pdf, PDF_DIRAC_DELTA sentinel for delta lobes, attenuation =
+f*cos/pdf.
+
+TPU-first dispatch: instead of sorting into per-material kernels with
+divergent branches, every lane evaluates all four lobes and selects by
+material type — the VPU executes all lanes anyway, the lobes are cheap, and
+selects are free compared to gather/scatter shuffles. (The wavefront
+integrator still offers sorted execution for the heavy-texture case.)
+Each sample consumes exactly three uniforms per lane regardless of type so
+per-path RNG streams stay aligned across material boundaries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core.mathutil import (
+    EPSILON,
+    INV_PI,
+    PDF_DIRAC_DELTA,
+    DELTA_THRESHOLD,
+    TWO_PI,
+    PI,
+    reflect,
+)
+from ..core.vec import Vec3, where as vwhere
+from ..scene.structs import MaterialTable, MaterialType
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MaterialLanes:
+    """Per-lane material parameters gathered from the MaterialTable."""
+
+    basecolor: Vec3
+    metallic: jnp.ndarray
+    roughness: jnp.ndarray
+    emittance: jnp.ndarray
+    ior: jnp.ndarray
+    mtype: jnp.ndarray
+    tex_diffuse: jnp.ndarray
+    tex_metallic_roughness: jnp.ndarray
+    tex_normal: jnp.ndarray
+
+    def replace_basecolor(self, basecolor: Vec3) -> "MaterialLanes":
+        return MaterialLanes(basecolor, self.metallic, self.roughness, self.emittance,
+                             self.ior, self.mtype, self.tex_diffuse,
+                             self.tex_metallic_roughness, self.tex_normal)
+
+
+def gather_materials(table: MaterialTable, mat_id: jnp.ndarray) -> MaterialLanes:
+    idx = jnp.clip(mat_id, 0, table.num_materials - 1)
+    return MaterialLanes(
+        basecolor=table.basecolor.take(idx),
+        metallic=jnp.take(table.metallic, idx, mode="clip"),
+        roughness=jnp.take(table.roughness, idx, mode="clip"),
+        emittance=jnp.take(table.emittance, idx, mode="clip"),
+        ior=jnp.take(table.ior, idx, mode="clip"),
+        mtype=jnp.take(table.mtype, idx, mode="clip"),
+        tex_diffuse=jnp.take(table.tex_diffuse, idx, mode="clip"),
+        tex_metallic_roughness=jnp.take(table.tex_metallic_roughness, idx, mode="clip"),
+        tex_normal=jnp.take(table.tex_normal, idx, mode="clip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shading frame (matches the reference LocalToWorld axis-pick thresholds so
+# sampled directions line up — interactions.cu:6-15)
+# ---------------------------------------------------------------------------
+
+_SQRT13 = 0.57735027
+
+
+def local_to_world(lx, ly, lz, n: Vec3) -> Vec3:
+    use_x = jnp.abs(n.x) < _SQRT13
+    use_y = jnp.logical_and(~use_x, jnp.abs(n.y) < _SQRT13)
+    hx = jnp.where(use_x, 1.0, 0.0)
+    hy = jnp.where(use_y, 1.0, 0.0)
+    hz = jnp.where(jnp.logical_or(use_x, use_y), 0.0, 1.0)
+    helper = Vec3(hx.astype(n.x.dtype), hy.astype(n.x.dtype), hz.astype(n.x.dtype))
+    t = n.cross(helper).normalize()
+    b = n.cross(t).normalize()
+    return t * lx + b * ly + n * lz
+
+
+# ---------------------------------------------------------------------------
+# Microfacet pieces
+# ---------------------------------------------------------------------------
+
+def fresnel_schlick(f0: Vec3, cos_theta) -> Vec3:
+    x = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
+    x5 = x * x * x * x * x
+    return f0 + (Vec3.full(jnp.shape(x5), 1.0) - f0) * x5
+
+
+def fresnel_schlick_scalar(f0, cos_theta):
+    x = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
+    x5 = x * x * x * x * x
+    return f0 + (1.0 - f0) * x5
+
+
+def distribution_ggx(n_dot_h, roughness):
+    a = roughness * roughness
+    a2 = a * a
+    nh2 = jnp.maximum(n_dot_h, 0.0) ** 2
+    denom = nh2 * (a2 - 1.0) + 1.0
+    denom = PI * denom * denom
+    return a2 / jnp.maximum(denom, 1e-7)
+
+
+def geometry_schlick_ggx(n_dot_v, roughness):
+    r = roughness + 1.0
+    k = (r * r) / 8.0
+    return n_dot_v / (n_dot_v * (1.0 - k) + k)
+
+
+def geometry_smith(n_dot_v, n_dot_l, roughness):
+    return geometry_schlick_ggx(jnp.maximum(n_dot_v, 0.0), roughness) * \
+        geometry_schlick_ggx(jnp.maximum(n_dot_l, 0.0), roughness)
+
+
+def base_f0(m: MaterialLanes) -> Vec3:
+    grey = Vec3.full(m.metallic.shape, 0.04)
+    return grey + (m.basecolor - grey) * m.metallic
+
+
+def specular_probability(m: MaterialLanes, n: Vec3, v: Vec3):
+    f0 = base_f0(m)
+    f = fresnel_schlick(f0, jnp.maximum(n.dot(v), 0.0))
+    p = f.mean()
+    p = p + (1.0 - p) * m.metallic  # mix(p, 1, metallic)
+    return jnp.clip(p, 0.001, 0.999)
+
+
+# ---------------------------------------------------------------------------
+# Eval / pdf
+# ---------------------------------------------------------------------------
+
+def eval_pbr(wo: Vec3, wi: Vec3, n: Vec3, m: MaterialLanes) -> Vec3:
+    n_dot_l = n.dot(wi)
+    n_dot_v = n.dot(wo)
+    h = (wo + wi).normalize()
+    v_dot_h = jnp.maximum(wo.dot(h), 0.0)
+    rough = jnp.clip(m.roughness, 0.01, 1.0)
+
+    f0 = base_f0(m)
+    f = fresnel_schlick(f0, v_dot_h)
+    d = distribution_ggx(n.dot(h), rough)
+    g = geometry_smith(n_dot_v, n_dot_l, rough)
+    spec = f * (d * g / (4.0 * n_dot_v * n_dot_l + EPSILON))
+
+    kd = (Vec3.full(m.metallic.shape, 1.0) - f) * (1.0 - m.metallic)
+    diffuse = kd * m.basecolor * INV_PI
+
+    result = diffuse + spec
+    return vwhere(n_dot_l > 0.0, result, Vec3.zeros(jnp.shape(n_dot_l)))
+
+
+def pdf_pbr(wo: Vec3, wi: Vec3, n: Vec3, m: MaterialLanes):
+    n_dot_l = n.dot(wi)
+    h = (wo + wi).normalize()
+    v_dot_h = jnp.maximum(wo.dot(h), 0.0)
+    rough = jnp.clip(m.roughness, 0.01, 1.0)
+
+    pdf_diff = jnp.maximum(n_dot_l, 0.0) * INV_PI
+    d = distribution_ggx(n.dot(h), rough)
+    n_dot_h = jnp.maximum(n.dot(h), 0.0)
+    pdf_spec = (d * n_dot_h) / (4.0 * v_dot_h + 1e-7)
+
+    p_spec = specular_probability(m, n, wo)
+    pdf = p_spec * pdf_spec + (1.0 - p_spec) * pdf_diff
+    return jnp.where(n_dot_l > 0.0, pdf, 0.0)
+
+
+def eval_bsdf(wo: Vec3, wi: Vec3, n: Vec3, m: MaterialLanes) -> Vec3:
+    """Dispatch over material type (delta lobes evaluate to 0)."""
+    pbr = eval_pbr(wo, wi, n, m)
+    n_dot_l = n.dot(wi)
+    diff = vwhere(n_dot_l > 0.0, m.basecolor * INV_PI, Vec3.zeros(jnp.shape(n_dot_l)))
+    zero = Vec3.zeros(jnp.shape(n_dot_l))
+    is_pbr = m.mtype == MaterialType.MICROFACET_PBR
+    is_diff = m.mtype == MaterialType.DIFFUSE
+    return vwhere(is_pbr, pbr, vwhere(is_diff, diff, zero))
+
+
+def pdf_bsdf(wo: Vec3, wi: Vec3, n: Vec3, m: MaterialLanes):
+    n_dot_l = n.dot(wi)
+    p_pbr = pdf_pbr(wo, wi, n, m)
+    p_diff = jnp.where(n_dot_l > 0.0, jnp.maximum(n_dot_l, 0.0) * INV_PI, 0.0)
+    is_pbr = m.mtype == MaterialType.MICROFACET_PBR
+    is_diff = m.mtype == MaterialType.DIFFUSE
+    return jnp.where(is_pbr, p_pbr, jnp.where(is_diff, p_diff, PDF_DIRAC_DELTA))
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def cosine_weighted_dir(n: Vec3, u1, u2) -> Vec3:
+    up = jnp.sqrt(u1)  # cos(theta)
+    over = jnp.sqrt(jnp.maximum(0.0, 1.0 - up * up))
+    around = u2 * TWO_PI
+    return local_to_world(jnp.cos(around) * over, jnp.sin(around) * over, up, n)
+
+
+def ggx_ndf_sample_dir(n: Vec3, wo: Vec3, roughness, u1, u2) -> Vec3:
+    """Sample GGX NDF half-vector, return reflected wi."""
+    a = roughness * roughness
+    phi = TWO_PI * u1
+    cos_t = jnp.sqrt((1.0 - u2) / (1.0 + (a * a - 1.0) * u2))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    h = local_to_world(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t, n)
+    return reflect(-1.0 * wo, h)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BSDFSample:
+    wi: Vec3
+    pdf: jnp.ndarray          # solid-angle pdf (PDF_DIRAC_DELTA for deltas)
+    attenuation: Vec3         # f * cos / pdf  (or Fresnel weight for deltas)
+    is_transmission: jnp.ndarray  # bool per lane (two-sided ray offset)
+
+
+def sample_bsdf(wo: Vec3, n: Vec3, m: MaterialLanes, state: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, BSDFSample]:
+    """Sample all four lobes lane-parallel, select by material type.
+
+    Consumes exactly three uniforms per lane (u1, u2 drive direction
+    sampling; u3 drives the PBR lobe / dielectric Fresnel coin flip) so RNG
+    streams advance uniformly across material classes.
+    """
+    state, u1, u2, u3 = rng.rand_float3(state)
+    shape = jnp.shape(u1)
+    zero3 = Vec3.zeros(shape)
+
+    # ---- PBR --------------------------------------------------------------
+    rough = jnp.clip(m.roughness, 0.01, 1.0)
+    p_spec = specular_probability(m, n, wo)
+    wi_spec = ggx_ndf_sample_dir(n, wo, rough, u1, u2)
+    wi_diff = cosine_weighted_dir(n, u1, u2)
+    wi_pbr = vwhere(u3 < p_spec, wi_spec, wi_diff).normalize()
+    pbr_valid = n.dot(wi_pbr) > 0.0
+    pdf_pbr_v = jnp.where(pbr_valid, pdf_pbr(wo, wi_pbr, n, m), 0.0)
+    f_pbr = eval_pbr(wo, wi_pbr, n, m)
+    att_pbr = f_pbr * (jnp.maximum(0.0, n.dot(wi_pbr)) / jnp.maximum(pdf_pbr_v, EPSILON))
+    att_pbr = vwhere(pbr_valid, att_pbr, zero3)
+
+    # ---- Diffuse ------------------------------------------------------------
+    wi_d = wi_diff
+    d_valid = n.dot(wi_d) > 0.0
+    pdf_d = jnp.where(d_valid, jnp.maximum(n.dot(wi_d), 0.0) * INV_PI, 0.0)
+    att_d = m.basecolor * INV_PI * (jnp.maximum(0.0, n.dot(wi_d)) / jnp.maximum(pdf_d, EPSILON))
+    att_d = vwhere(d_valid, att_d, zero3)
+
+    # ---- Perfect mirror ------------------------------------------------------
+    wi_r = reflect(-1.0 * wo, n)
+    f0 = base_f0(m)
+    att_r = fresnel_schlick(f0, jnp.maximum(n.dot(wi_r), 0.0))
+
+    # ---- Dielectric refraction ----------------------------------------------
+    inside = wo.dot(n) < 0.0
+    n1 = jnp.where(inside, m.ior, 1.0)
+    n2 = jnp.where(inside, 1.0, m.ior)
+    n_eff = vwhere(inside, -1.0 * n, n)
+    eta = n1 / n2
+    cos_i = jnp.clip(wo.dot(n_eff), 0.0, 1.0)
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    fr = fresnel_schlick_scalar(r0, cos_i)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    reflect_branch = jnp.logical_or(sin2_t >= 1.0, u3 < fr)
+    wi_tir = reflect(-1.0 * wo, n_eff)
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    wi_refr = (-1.0 * wo) * eta + n_eff * (eta * cos_i - cos_t)
+    wi_x = vwhere(reflect_branch, wi_tir, wi_refr)
+    radiance_scale = (n2 * n2) / (n1 * n1)
+    att_x = vwhere(reflect_branch, Vec3.ones(shape), m.basecolor * radiance_scale)
+    trans_x = ~reflect_branch
+
+    # ---- Select by material type --------------------------------------------
+    is_pbr = m.mtype == MaterialType.MICROFACET_PBR
+    is_diff = m.mtype == MaterialType.DIFFUSE
+    is_refl = m.mtype == MaterialType.SPECULAR_REFLECTION
+
+    wi = vwhere(is_pbr, wi_pbr, vwhere(is_diff, wi_d, vwhere(is_refl, wi_r, wi_x)))
+    pdf = jnp.where(is_pbr, pdf_pbr_v, jnp.where(is_diff, pdf_d, PDF_DIRAC_DELTA))
+    att = vwhere(is_pbr, att_pbr, vwhere(is_diff, att_d, vwhere(is_refl, att_r, att_x)))
+    is_trans = jnp.where(
+        m.mtype == MaterialType.SPECULAR_REFRACTION, trans_x, jnp.zeros_like(trans_x)
+    )
+    return state, BSDFSample(wi=wi, pdf=pdf, attenuation=att, is_transmission=is_trans)

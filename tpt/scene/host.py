@@ -1,0 +1,82 @@
+"""Host-side scene container: materials, mesh, camera, render settings —
+the assembled output of the JSON/OBJ loaders or the procedural builders,
+plus the upload step to the device SceneData pytree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.vec import Vec3
+from .lights import build_light_cdf
+from .mesh import HostMesh, finalize_mesh
+from .structs import EnvMap, MaterialTable, MaterialType, SceneData, TextureAtlas
+from .texture import AtlasBuilder
+
+
+@dataclass
+class HostMaterial:
+    name: str = ""
+    basecolor: tuple = (1.0, 1.0, 1.0)
+    metallic: float = 0.0
+    roughness: float = 1.0
+    emittance: float = 0.0
+    ior: float = 1.5
+    mtype: MaterialType = MaterialType.DIFFUSE
+    tex_diffuse: int = -1
+    tex_metallic_roughness: int = -1
+    tex_normal: int = -1
+
+
+@dataclass
+class HostScene:
+    mesh: HostMesh = dfield(default_factory=HostMesh.empty)
+    materials: List[HostMaterial] = dfield(default_factory=list)
+    camera: Optional[Camera] = None
+    atlas: AtlasBuilder = dfield(default_factory=AtlasBuilder)
+    env_map: Optional[EnvMap] = None  # built by envmap.load_envmap
+    iterations: int = 120
+    trace_depth: int = 8
+    image_name: str = "render"
+
+    def add_material(self, m: HostMaterial) -> int:
+        self.materials.append(m)
+        return len(self.materials) - 1
+
+    def material_id(self, name: str) -> int:
+        for i, m in enumerate(self.materials):
+            if m.name == name:
+                return i
+        raise KeyError(f"unknown material {name!r}")
+
+    def emittances(self) -> np.ndarray:
+        return np.array([m.emittance for m in self.materials] or [0.0], np.float32)
+
+    def build(self) -> SceneData:
+        """Upload everything to device pytrees."""
+        mats = self.materials or [HostMaterial()]
+        table = MaterialTable(
+            basecolor=Vec3.from_stacked(
+                jnp.asarray(np.array([m.basecolor for m in mats], np.float32))
+            ),
+            metallic=jnp.asarray(np.array([m.metallic for m in mats], np.float32)),
+            roughness=jnp.asarray(np.array([m.roughness for m in mats], np.float32)),
+            emittance=jnp.asarray(np.array([m.emittance for m in mats], np.float32)),
+            ior=jnp.asarray(np.array([m.ior for m in mats], np.float32)),
+            mtype=jnp.asarray(np.array([int(m.mtype) for m in mats], np.int32)),
+            tex_diffuse=jnp.asarray(np.array([m.tex_diffuse for m in mats], np.int32)),
+            tex_metallic_roughness=jnp.asarray(
+                np.array([m.tex_metallic_roughness for m in mats], np.int32)
+            ),
+            tex_normal=jnp.asarray(np.array([m.tex_normal for m in mats], np.int32)),
+        )
+        lights = build_light_cdf(self.mesh, self.emittances())
+        mesh = finalize_mesh(self.mesh)
+        atlas = self.atlas.build()
+        env = self.env_map if self.env_map is not None else EnvMap.disabled()
+        return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas, env=env)

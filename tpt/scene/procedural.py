@@ -1,0 +1,204 @@
+"""Procedural test geometry & scenes.
+
+The reference ships only OBJ assets (not present in this environment), so
+the framework carries procedural builders for its test/bench fixtures:
+quads, boxes, UV-spheres, a Cornell box (BASELINE config #1/#2), and a
+parametric "many-triangle interior" stress scene that reproduces the
+Fireplace-Room benchmark workload (143k triangles, mixed materials) for
+throughput measurement (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.camera import Camera
+from .host import HostMaterial, HostScene
+from .mesh import HostMesh, compute_smooth_normals, merge_meshes
+from .structs import MaterialType
+
+
+def make_quad(p0, p1, p2, p3, material_id: int) -> HostMesh:
+    """Two triangles (p0,p1,p2) and (p0,p2,p3); CCW winding defines normal."""
+    pos = np.array([p0, p1, p2, p3], np.float32)
+    n = np.cross(pos[1] - pos[0], pos[2] - pos[0])
+    n = n / max(np.linalg.norm(n), 1e-20)
+    return HostMesh(
+        positions=pos,
+        normals=np.tile(n.astype(np.float32), (4, 1)),
+        uvs=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+        tangents=np.zeros((4, 3), np.float32),
+        indices=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        material_ids=np.full((2,), material_id, np.int32),
+    )
+
+
+def make_box(bmin, bmax, material_id: int, flip=False) -> HostMesh:
+    """Axis-aligned box; outward normals (inward when flip=True)."""
+    x0, y0, z0 = bmin
+    x1, y1, z1 = bmax
+    quads = [
+        # +X, -X, +Y, -Y, +Z, -Z (CCW seen from outside)
+        ((x1, y0, z0), (x1, y1, z0), (x1, y1, z1), (x1, y0, z1)),
+        ((x0, y0, z1), (x0, y1, z1), (x0, y1, z0), (x0, y0, z0)),
+        ((x0, y1, z0), (x0, y1, z1), (x1, y1, z1), (x1, y1, z0)),
+        ((x0, y0, z1), (x0, y0, z0), (x1, y0, z0), (x1, y0, z1)),
+        ((x1, y0, z1), (x1, y1, z1), (x0, y1, z1), (x0, y0, z1)),
+        ((x0, y0, z0), (x0, y1, z0), (x1, y1, z0), (x1, y0, z0)),
+    ]
+    meshes = []
+    for q in quads:
+        if flip:
+            q = tuple(reversed(q))
+        meshes.append(make_quad(*q, material_id=material_id))
+    return merge_meshes(meshes)
+
+
+def make_uv_sphere(center, radius, material_id: int, n_theta=24, n_phi=48) -> HostMesh:
+    cx, cy, cz = center
+    thetas = np.linspace(0.0, math.pi, n_theta + 1)
+    phis = np.linspace(0.0, 2 * math.pi, n_phi + 1)
+    tt, pp = np.meshgrid(thetas, phis, indexing="ij")
+    x = np.sin(tt) * np.cos(pp)
+    y = np.cos(tt)
+    z = np.sin(tt) * np.sin(pp)
+    normals = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    pos = normals * radius + np.array([cx, cy, cz], np.float32)
+    uvs = np.stack([pp / (2 * math.pi), tt / math.pi], -1).reshape(-1, 2).astype(np.float32)
+
+    idx = []
+    stride = n_phi + 1
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * stride + j
+            b = a + 1
+            c = a + stride
+            d = c + 1
+            if i > 0:
+                idx.append([a, b, c])
+            if i < n_theta - 1:
+                idx.append([b, d, c])
+    indices = np.array(idx, np.int32)
+    return HostMesh(
+        positions=pos.astype(np.float32),
+        normals=normals,
+        uvs=uvs,
+        tangents=np.zeros_like(pos, dtype=np.float32),
+        indices=indices,
+        material_ids=np.full((indices.shape[0],), material_id, np.int32),
+    )
+
+
+def cornell_box(resolution=(800, 800), spheres=True,
+                sphere_materials: Optional[Tuple[MaterialType, MaterialType]] = None
+                ) -> HostScene:
+    """The classic five-wall Cornell box with an area light; optionally two
+    spheres whose material types are configurable (BASELINE configs #1/#2)."""
+    s = HostScene()
+    white = s.add_material(HostMaterial("white", (0.73, 0.73, 0.73)))
+    red = s.add_material(HostMaterial("red", (0.65, 0.05, 0.05)))
+    green = s.add_material(HostMaterial("green", (0.12, 0.45, 0.15)))
+    light = s.add_material(HostMaterial("light", (1.0, 1.0, 1.0), emittance=15.0))
+
+    L = 552.8  # classic cornell dims
+    parts = [
+        make_quad((L, 0, 0), (0, 0, 0), (0, 0, 559.2), (L, 0, 559.2), white),        # floor
+        make_quad((L, 548.8, 0), (L, 548.8, 559.2), (0, 548.8, 559.2), (0, 548.8, 0), white),  # ceiling
+        make_quad((L, 0, 559.2), (0, 0, 559.2), (0, 548.8, 559.2), (L, 548.8, 559.2), white),  # back
+        make_quad((0, 0, 559.2), (0, 0, 0), (0, 548.8, 0), (0, 548.8, 559.2), green),  # left
+        make_quad((L, 0, 0), (L, 0, 559.2), (L, 548.8, 559.2), (L, 548.8, 0), red),   # right
+        make_quad((343, 548.0, 227), (343, 548.0, 332), (213, 548.0, 332), (213, 548.0, 227), light),
+    ]
+    if spheres:
+        mt_a, mt_b = sphere_materials or (MaterialType.DIFFUSE, MaterialType.DIFFUSE)
+        metallic_a = {MaterialType.MICROFACET_PBR: 0.8,
+                      MaterialType.SPECULAR_REFLECTION: 1.0}.get(mt_a, 0.0)
+        mat_a = s.add_material(HostMaterial(
+            "sphere_a", (0.85, 0.85, 0.85), mtype=mt_a,
+            roughness=0.2, metallic=metallic_a, ior=1.5))
+        mat_b = s.add_material(HostMaterial(
+            "sphere_b", (0.98, 0.98, 0.98), mtype=mt_b, ior=1.5))
+        parts.append(make_uv_sphere((185, 110, 170), 110, mat_a))
+        parts.append(make_uv_sphere((370, 90, 350), 90, mat_b))
+
+    s.mesh = merge_meshes(parts)
+    s.camera = Camera.build(
+        resolution=resolution,
+        position=(278.0, 273.0, -800.0),
+        look_at=(278.0, 273.0, 0.0),
+        up=(0.0, 1.0, 0.0),
+        fovy_deg=39.3,
+    )
+    s.iterations = 8
+    s.trace_depth = 8
+    s.image_name = "cornell"
+    return s
+
+
+def stress_interior(num_triangles: int = 143_000, resolution=(1920, 1080),
+                    seed: int = 7) -> HostScene:
+    """Benchmark stand-in for Fireplace Room: an enclosed room densely
+    filled with random-material spheres and boxes totalling ~`num_triangles`
+    triangles, one area light, mixed PBR/diffuse/reflect/refract materials
+    in roughly the reference's proportions (README.md:34 — PBR 24421,
+    diffuse 107572, reflection 10, refraction 11170)."""
+    rng = np.random.default_rng(seed)
+    s = HostScene()
+    white = s.add_material(HostMaterial("walls", (0.7, 0.7, 0.7)))
+    light = s.add_material(HostMaterial("lamp", (1.0, 0.9, 0.7), emittance=25.0))
+
+    room = 1000.0
+    parts = [make_box((0, 0, 0), (room, room * 0.6, room), white, flip=True)]
+    parts.append(make_quad(
+        (room * 0.4, room * 0.6 - 1, room * 0.4),
+        (room * 0.4, room * 0.6 - 1, room * 0.6),
+        (room * 0.6, room * 0.6 - 1, room * 0.6),
+        (room * 0.6, room * 0.6 - 1, room * 0.4),
+        light,
+    ))
+
+    # material pool with reference-like class mix
+    pool = []
+    for i in range(24):
+        col = tuple(rng.uniform(0.2, 0.95, 3))
+        r = float(rng.uniform(0.05, 0.9))
+        met = float(rng.uniform(0.0, 1.0))
+        pool.append(s.add_material(HostMaterial(
+            f"pbr{i}", col, metallic=met, roughness=r, mtype=MaterialType.MICROFACET_PBR)))
+    for i in range(96):
+        col = tuple(rng.uniform(0.1, 0.95, 3))
+        pool.append(s.add_material(HostMaterial(f"diff{i}", col)))
+    pool.append(s.add_material(HostMaterial(
+        "mirror", (0.95, 0.95, 0.95), mtype=MaterialType.SPECULAR_REFLECTION)))
+    for i in range(12):
+        pool.append(s.add_material(HostMaterial(
+            f"glass{i}", (0.98, 0.98, 0.98), ior=1.5, mtype=MaterialType.SPECULAR_REFRACTION)))
+    # class weights ~ reference proportions
+    weights = [0.17 / 24] * 24 + [0.75 / 96] * 96 + [0.0001] + [0.078 / 12] * 12
+    weights = np.array(weights) / np.sum(weights)
+
+    tris_per_sphere = make_uv_sphere((0, 0, 0), 1.0, 0, n_theta=12, n_phi=18).num_triangles
+    budget = num_triangles - sum(p.num_triangles for p in parts)
+    n_spheres = max(1, budget // tris_per_sphere)
+    for _ in range(n_spheres):
+        c = rng.uniform(80, room - 80, 3)
+        c[1] = rng.uniform(30, room * 0.6 - 60)
+        rad = rng.uniform(12, 42)
+        mat = int(rng.choice(pool, p=weights))
+        parts.append(make_uv_sphere(tuple(c), rad, mat, n_theta=12, n_phi=18))
+
+    s.mesh = merge_meshes(parts)
+    s.camera = Camera.build(
+        resolution=resolution,
+        position=(room * 0.5, room * 0.28, -room * 0.55),
+        look_at=(room * 0.5, room * 0.28, room * 0.5),
+        up=(0.0, 1.0, 0.0),
+        fovy_deg=45.0,
+    )
+    s.iterations = 16
+    s.trace_depth = 8
+    s.image_name = "stress"
+    return s
