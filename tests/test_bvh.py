@@ -1,0 +1,150 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpt.bvh.build import build_lbvh, morton3d
+from tpt.bvh.traverse import bvh_any_hit, bvh_closest_hit
+from tpt.bvh.validate import validate_lbvh
+from tpt.core.vec import Vec3
+from tpt.integrators.intersect import brute_force_any_hit, brute_force_closest_hit
+from tpt.scene import procedural
+from tpt.scene.mesh import finalize_mesh, merge_meshes
+
+
+def random_ray_batch(n, lo, hi, seed=0):
+    rs = np.random.default_rng(seed)
+    ori = rs.uniform(lo, hi, (n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return Vec3.from_stacked(jnp.asarray(ori)), Vec3.from_stacked(jnp.asarray(d))
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    m = procedural.make_uv_sphere((0, 0, 0), 1.0, 0, n_theta=16, n_phi=32)
+    return finalize_mesh(m)
+
+
+@pytest.fixture(scope="module")
+def cluttered_mesh():
+    rs = np.random.default_rng(3)
+    parts = []
+    for i in range(30):
+        c = rs.uniform(-5, 5, 3)
+        parts.append(procedural.make_uv_sphere(tuple(c), rs.uniform(0.2, 0.8), 0,
+                                               n_theta=6, n_phi=8))
+    return finalize_mesh(merge_meshes(parts))
+
+
+class TestMorton:
+    def test_ordering_locality(self):
+        # origin has code 0; far corner has the max code
+        c0 = morton3d(jnp.zeros(1), jnp.zeros(1), jnp.zeros(1))
+        c1 = morton3d(jnp.ones(1), jnp.ones(1), jnp.ones(1))
+        assert int(c0[0]) == 0
+        assert int(c1[0]) == (1 << 30) - 1
+
+    def test_axis_interleave(self):
+        # x contributes the highest bit of each 3-bit group
+        cx = morton3d(jnp.ones(1), jnp.zeros(1), jnp.zeros(1))
+        cy = morton3d(jnp.zeros(1), jnp.ones(1), jnp.zeros(1))
+        cz = morton3d(jnp.zeros(1), jnp.zeros(1), jnp.ones(1))
+        assert int(cx[0]) == int(cy[0]) * 2 == int(cz[0]) * 4
+
+
+class TestBuild:
+    def test_topology_sphere(self, sphere_mesh):
+        bvh = build_lbvh(sphere_mesh)
+        rep = validate_lbvh(bvh)
+        assert rep.ok, rep.errors
+        assert rep.num_leaves == sphere_mesh.num_triangles
+        assert rep.max_depth < 64
+
+    def test_topology_clutter(self, cluttered_mesh):
+        bvh = build_lbvh(cluttered_mesh)
+        rep = validate_lbvh(bvh)
+        assert rep.ok, rep.errors
+
+    def test_tiny_meshes(self):
+        for ntheta in (2, 3):
+            m = finalize_mesh(procedural.make_uv_sphere((0, 0, 0), 1, 0,
+                                                        n_theta=ntheta, n_phi=3))
+            rep = validate_lbvh(build_lbvh(m))
+            assert rep.ok, rep.errors
+
+    def test_root_aabb_bounds_scene(self, cluttered_mesh):
+        bvh = build_lbvh(cluttered_mesh)
+        pos = np.stack([np.asarray(cluttered_mesh.positions.x),
+                        np.asarray(cluttered_mesh.positions.y),
+                        np.asarray(cluttered_mesh.positions.z)], -1)
+        root_min = np.array([float(bvh.aabb_min.x[0]), float(bvh.aabb_min.y[0]),
+                             float(bvh.aabb_min.z[0])])
+        root_max = np.array([float(bvh.aabb_max.x[0]), float(bvh.aabb_max.y[0]),
+                             float(bvh.aabb_max.z[0])])
+        assert np.all(pos.min(0) >= root_min - 1e-4)
+        assert np.all(pos.max(0) <= root_max + 1e-4)
+
+
+class TestTraversalMatchesBruteForce:
+    def test_closest_hit_sphere(self, sphere_mesh):
+        ori, d = random_ray_batch(512, -3, 3, seed=1)
+        bvh = build_lbvh(sphere_mesh)
+        got = bvh_closest_hit(sphere_mesh, bvh, ori, d)
+        want = brute_force_closest_hit(sphere_mesh, ori, d)
+        hit_g = np.asarray(got.tri >= 0)
+        hit_w = np.asarray(want.tri >= 0)
+        np.testing.assert_array_equal(hit_g, hit_w)
+        np.testing.assert_allclose(
+            np.asarray(got.t)[hit_w], np.asarray(want.t)[hit_w], rtol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(got.tri)[hit_w], np.asarray(want.tri)[hit_w])
+
+    def test_closest_hit_clutter(self, cluttered_mesh):
+        ori, d = random_ray_batch(1024, -6, 6, seed=2)
+        bvh = build_lbvh(cluttered_mesh)
+        got = bvh_closest_hit(cluttered_mesh, bvh, ori, d)
+        want = brute_force_closest_hit(cluttered_mesh, ori, d)
+        np.testing.assert_array_equal(np.asarray(got.tri >= 0), np.asarray(want.tri >= 0))
+        m = np.asarray(want.tri >= 0)
+        np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-4)
+
+    def test_any_hit_matches(self, cluttered_mesh):
+        ori, d = random_ray_batch(1024, -6, 6, seed=4)
+        t_max = jnp.full((1024,), 4.0)
+        bvh = build_lbvh(cluttered_mesh)
+        got = np.asarray(bvh_any_hit(cluttered_mesh, bvh, ori, d, t_max))
+        want = np.asarray(brute_force_any_hit(cluttered_mesh, ori, d, t_max))
+        np.testing.assert_array_equal(got, want)
+
+    def test_t_max_respected(self, sphere_mesh):
+        # rays from far away with t_max shorter than the distance -> no hits
+        ori = Vec3.splat((0.0, 0.0, -10.0), shape=(64,))
+        d = Vec3.splat((0.0, 0.0, 1.0), shape=(64,))
+        bvh = build_lbvh(sphere_mesh)
+        rec = bvh_closest_hit(sphere_mesh, bvh, ori, d, t_max=jnp.full((64,), 2.0))
+        assert np.all(np.asarray(rec.tri) == -1)
+
+
+class TestRenderParity:
+    def test_cornell_bvh_equals_bruteforce(self):
+        from tpt.config import RayCastBackend, RenderConfig
+        from tpt.integrators import megakernel
+
+        scene = procedural.cornell_box(resolution=(32, 32), spheres=True)
+        data_bf = scene.build(with_bvh=False)
+        data_bvh = scene.build(with_bvh=True)
+        cfg_bf = RenderConfig(backend=RayCastBackend.BRUTE_FORCE, trace_depth=3)
+        cfg_bvh = RenderConfig(backend=RayCastBackend.BVH_XLA, trace_depth=3)
+        img_bf = megakernel.render(data_bf, scene.camera, cfg_bf, iterations=2)
+        img_bvh = megakernel.render(data_bvh, scene.camera, cfg_bvh, iterations=2)
+        # equal-t tie-breaks on shared triangle edges may resolve differently
+        # between backends; require near-equality on >=99.5% of pixels and
+        # identical global statistics
+        close = np.isclose(img_bvh, img_bf, atol=5e-3).mean()
+        assert close > 0.995, close
+        np.testing.assert_allclose(img_bvh.mean(), img_bf.mean(), rtol=0.02)
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-v"]))

@@ -1,0 +1,213 @@
+"""LBVH construction, fully on-device in XLA (jittable).
+
+Capability parity with the reference's GPU-parallel builder
+(/root/reference/src/bvh.cu:456-516 — Karras 2012 lineage), re-designed for
+XLA's data-parallel model:
+
+- per-triangle AABB/centroid/morton: one vectorized pass
+- radix sort -> `jax.lax.sort` on (morton, index) pairs
+- Karras hierarchy emit: instead of per-thread while-loops, every internal
+  node runs two fixed-trip-count vectorized binary searches over the sorted
+  key array, exploiting that the LCP delta(i, j) is non-increasing in
+  |i - j| for sorted keys (so the doubling phase is unnecessary)
+- AABB refit: instead of atomic-flag second-arriver propagation (no global
+  atomics in XLA), a fixed-point iteration `aabb[i] = union(children)`
+  repeated `refit_iters` times — one level of the tree converges per
+  iteration, all nodes in parallel
+- escape links (for stackless any-hit traversal) by the same fixed-point
+  downward propagation: escape[left] = right-sibling, escape[right] =
+  escape[parent]
+
+Node layout: internal nodes [0, T-2] (root = 0), leaves [T-1, 2T-2];
+`prim_index[leaf]` maps to the original triangle id.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vec import Vec3, vmax, vmin
+from ..scene.structs import LBVHData, MeshData
+
+
+def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits over 30 (standard morton magic)."""
+    v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return v
+
+
+def morton3d(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """30-bit morton code from coords normalized to [0, 1]."""
+    def q(c):
+        return jnp.clip(c * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
+
+    return (_expand_bits(q(x)) * jnp.uint32(4)
+            + _expand_bits(q(y)) * jnp.uint32(2)
+            + _expand_bits(q(z))).astype(jnp.int32)
+
+
+def _delta(morton_s: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, n: int):
+    """LCP length proxy between sorted slots a and b; -1 out of range.
+    Only order matters: clz of the 32-bit container is monotone in true LCP,
+    with position bits breaking ties for equal codes (the reference's
+    64-bit morton<<32|tid key — bvh.cu:74-96)."""
+    in_range = (b >= 0) & (b < n)
+    bc = jnp.clip(b, 0, n - 1)
+    ma = jnp.take(morton_s, jnp.clip(a, 0, n - 1), mode="clip")
+    mb = jnp.take(morton_s, bc, mode="clip")
+    x = jnp.bitwise_xor(ma, mb)
+    same = x == 0
+    pos_x = jnp.bitwise_xor(a, bc)
+    d = jnp.where(same,
+                  32 + jax.lax.clz(pos_x),
+                  jax.lax.clz(x))
+    return jnp.where(in_range, d, -1)
+
+
+@partial(jax.jit, static_argnames=("refit_iters",))
+def build_lbvh_arrays(v0: Vec3, v1: Vec3, v2: Vec3, refit_iters: int = 64):
+    """Build from triangle corner arrays (each Vec3[T], T >= 2).
+
+    Returns the LBVHData fields as a dict of arrays (caller wraps)."""
+    t = v0.shape[0]
+    n = t  # leaves
+    num_internal = n - 1
+    total = 2 * n - 1
+
+    # ---- 1. per-tri AABB + centroid ----------------------------------------
+    tri_min = vmin(vmin(v0, v1), v2)
+    tri_max = vmax(vmax(v0, v1), v2)
+    centroid = (tri_min + tri_max) * 0.5
+
+    # ---- 2. world AABB ------------------------------------------------------
+    wmin = centroid.map(jnp.min)
+    wmax = centroid.map(jnp.max)
+    extent = wmax - wmin
+    inv_ext = Vec3(
+        1.0 / jnp.maximum(extent.x, 1e-9),
+        1.0 / jnp.maximum(extent.y, 1e-9),
+        1.0 / jnp.maximum(extent.z, 1e-9),
+    )
+    norm_c = (centroid - wmin) * inv_ext
+
+    # ---- 3. morton + sort ---------------------------------------------------
+    codes = morton3d(norm_c.x, norm_c.y, norm_c.z)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    morton_s, prim_s = jax.lax.sort((codes, ids), num_keys=2)
+
+    # ---- 4. Karras hierarchy emit ------------------------------------------
+    i = jnp.arange(num_internal, dtype=jnp.int32)
+    d_r = _delta(morton_s, i, i + 1, n)
+    d_l = _delta(morton_s, i, i - 1, n)
+    d = jnp.where(d_r > d_l, 1, -1).astype(jnp.int32)
+    delta_min = _delta(morton_s, i, i - d, n)
+
+    # binary-search the range length l: largest l with delta(i, i+l*d) > delta_min
+    max_pow = max(1, (n - 1).bit_length())
+    l = jnp.zeros_like(i)
+    for k in range(max_pow, -1, -1):
+        step = jnp.int32(1 << k)
+        cand = l + step
+        ok = _delta(morton_s, i, i + cand * d, n) > delta_min
+        l = jnp.where(ok, cand, l)
+    j = i + l * d
+    delta_node = _delta(morton_s, i, j, n)
+
+    # binary-search the split s: largest s with delta(i, i+s*d) > delta_node
+    s = jnp.zeros_like(i)
+    remaining = l
+    for k in range(max_pow, -1, -1):
+        step = jnp.int32(1 << k)
+        cand = s + step
+        ok = (cand <= l - 1) & (_delta(morton_s, i, i + cand * d, n) > delta_node)
+        s = jnp.where(ok, cand, s)
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    leaf_base = num_internal  # leaves at [n-1, 2n-2]
+    left = jnp.where(lo == gamma, leaf_base + gamma, gamma)
+    right = jnp.where(hi == gamma + 1, leaf_base + gamma + 1, gamma + 1)
+
+    # ---- 5. parents ---------------------------------------------------------
+    parent = jnp.full((total,), -1, jnp.int32)
+    parent = parent.at[left].set(i)
+    parent = parent.at[right].set(i)
+
+    # full child arrays (leaves: -1)
+    left_full = jnp.full((total,), -1, jnp.int32).at[:num_internal].set(left)
+    right_full = jnp.full((total,), -1, jnp.int32).at[:num_internal].set(right)
+
+    # prim index per node: leaves get the sorted prim id
+    prim_index = jnp.full((total,), -1, jnp.int32).at[leaf_base:].set(prim_s)
+
+    # ---- 6. AABB refit (fixed-point, one tree level per iteration) ---------
+    big = jnp.float32(3.4e38)
+    amin = Vec3.full((total,), big)
+    amax = Vec3.full((total,), -big)
+    leaf_min = tri_min.take(prim_s)
+    leaf_max = tri_max.take(prim_s)
+    amin = Vec3(amin.x.at[leaf_base:].set(leaf_min.x),
+                amin.y.at[leaf_base:].set(leaf_min.y),
+                amin.z.at[leaf_base:].set(leaf_min.z))
+    amax = Vec3(amax.x.at[leaf_base:].set(leaf_max.x),
+                amax.y.at[leaf_base:].set(leaf_max.y),
+                amax.z.at[leaf_base:].set(leaf_max.z))
+
+    lc = jnp.maximum(left, 0)
+    rc = jnp.maximum(right, 0)
+
+    def refit_body(_, ab):
+        amin, amax = ab
+        lmin = amin.take(lc)
+        rmin = amin.take(rc)
+        lmax = amax.take(lc)
+        rmax = amax.take(rc)
+        imin = vmin(lmin, rmin)
+        imax = vmax(lmax, rmax)
+        amin = Vec3(amin.x.at[:num_internal].set(imin.x),
+                    amin.y.at[:num_internal].set(imin.y),
+                    amin.z.at[:num_internal].set(imin.z))
+        amax = Vec3(amax.x.at[:num_internal].set(imax.x),
+                    amax.y.at[:num_internal].set(imax.y),
+                    amax.z.at[:num_internal].set(imax.z))
+        return amin, amax
+
+    amin, amax = jax.lax.fori_loop(0, refit_iters, refit_body, (amin, amax))
+
+    # ---- 7. escape links (preorder skip) ------------------------------------
+    # escape[left child] = right sibling; escape[right child] = escape[parent]
+    par_c = jnp.maximum(parent, 0)
+    par_right = jnp.take(right_full, par_c, mode="clip")
+    is_left = jnp.take(left_full, par_c, mode="clip") == jnp.arange(total, dtype=jnp.int32)
+    has_parent = parent >= 0
+
+    escape = jnp.full((total,), -1, jnp.int32)
+
+    def esc_body(_, esc):
+        esc_parent = jnp.take(esc, par_c, mode="clip")
+        new = jnp.where(is_left, par_right, esc_parent)
+        return jnp.where(has_parent, new, -1)
+
+    escape = jax.lax.fori_loop(0, refit_iters, esc_body, escape)
+
+    return dict(
+        aabb_min=amin, aabb_max=amax,
+        left=left_full, right=right_full, parent=parent,
+        escape=escape, prim_index=prim_index,
+    )
+
+
+def build_lbvh(mesh: MeshData, refit_iters: int = 64) -> LBVHData:
+    """Build the LBVH for a mesh. T==1 meshes get a duplicated leaf."""
+    t = mesh.num_triangles
+    tri_ids = jnp.arange(max(t, 2), dtype=jnp.int32) % max(t, 1)
+    v0, v1, v2 = mesh.tri_vertices(tri_ids)
+    arrays = build_lbvh_arrays(v0, v1, v2, refit_iters=refit_iters)
+    return LBVHData(num_triangles=max(t, 2), **arrays)

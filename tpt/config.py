@@ -59,7 +59,7 @@ class RenderConfig:
     svgf: SVGFConfig = field(default_factory=SVGFConfig)
     # TPU knobs
     use_bfloat16_shading: bool = False
-    bvh_stack_depth: int = 32
+    bvh_stack_depth: int = 64
     russian_roulette: bool = False  # reference stub is empty (pathtrace.cu:437)
 
     def with_(self, **kw) -> "RenderConfig":

@@ -57,8 +57,8 @@ class HostScene:
     def emittances(self) -> np.ndarray:
         return np.array([m.emittance for m in self.materials] or [0.0], np.float32)
 
-    def build(self) -> SceneData:
-        """Upload everything to device pytrees."""
+    def build(self, with_bvh: bool = False) -> SceneData:
+        """Upload everything to device pytrees; optionally build the LBVH."""
         mats = self.materials or [HostMaterial()]
         table = MaterialTable(
             basecolor=Vec3.from_stacked(
@@ -79,4 +79,10 @@ class HostScene:
         mesh = finalize_mesh(self.mesh)
         atlas = self.atlas.build()
         env = self.env_map if self.env_map is not None else EnvMap.disabled()
-        return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas, env=env)
+        bvh = None
+        if with_bvh:
+            from ..bvh.build import build_lbvh
+
+            bvh = build_lbvh(mesh)
+        return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
+                         env=env, bvh=bvh)

@@ -152,11 +152,12 @@ def stress_interior(num_triangles: int = 143_000, resolution=(1920, 1080),
 
     room = 1000.0
     parts = [make_box((0, 0, 0), (room, room * 0.6, room), white, flip=True)]
+    # lamp normal must face down (-Y) toward the room
     parts.append(make_quad(
         (room * 0.4, room * 0.6 - 1, room * 0.4),
-        (room * 0.4, room * 0.6 - 1, room * 0.6),
-        (room * 0.6, room * 0.6 - 1, room * 0.6),
         (room * 0.6, room * 0.6 - 1, room * 0.4),
+        (room * 0.6, room * 0.6 - 1, room * 0.6),
+        (room * 0.4, room * 0.6 - 1, room * 0.6),
         light,
     ))
 
@@ -193,8 +194,8 @@ def stress_interior(num_triangles: int = 143_000, resolution=(1920, 1080),
     s.mesh = merge_meshes(parts)
     s.camera = Camera.build(
         resolution=resolution,
-        position=(room * 0.5, room * 0.28, -room * 0.55),
-        look_at=(room * 0.5, room * 0.28, room * 0.5),
+        position=(room * 0.5, room * 0.3, room * 0.04),
+        look_at=(room * 0.5, room * 0.26, room * 0.9),
         up=(0.0, 1.0, 0.0),
         fovy_deg=45.0,
     )
