@@ -1,0 +1,159 @@
+"""Packet-BVH pack: collapse the binary LBVH into the table layout the
+Pallas packet-traversal kernel consumes.
+
+TPU rationale (measured on v5e, see pallas_traverse.py): Mosaic has no
+per-lane gather from VMEM tables, so per-ray SIMT traversal is impossible;
+the kernel instead traverses one shared stack per 1024-ray packet, fetching
+one node row per step (scalar dynamic slice) and testing it against all
+lanes densely. To amortize fetches, leaves are *clusters* of up to K
+triangles: every Karras subtree covers a contiguous range of morton-sorted
+primitives, so a cluster is just (start, count) into the sorted triangle
+table and its fetch is one contiguous slice.
+
+Tables (all padded to TPU-friendly shapes):
+- node_f32 [Nt, 16]: left child AABB (6), right child AABB (6), pad
+- node_child [Nt, 2] int32: child encoding — >=0: top-tree node id;
+  <0: cluster, enc = -(start*256 + count) - 1  (count <= K <= 255)
+- tri_f32 [Tp, 16]: v0 (3), e1 (3), e2 (3), original-tri-id as float (1)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.structs import LBVHData, MeshData
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PacketBVH:
+    node_f32: jnp.ndarray   # [Nt, 16] f32
+    node_child: jnp.ndarray  # [Nt, 2] int32
+    tri_f32: jnp.ndarray    # [Tp, 16] f32
+    num_nodes: int = field(metadata=dict(static=True), default=0)
+    num_triangles: int = field(metadata=dict(static=True), default=0)
+    max_cluster: int = field(metadata=dict(static=True), default=8)
+
+
+def encode_cluster(start: int, count: int) -> int:
+    return -(start * 256 + count) - 1
+
+
+def decode_cluster(code):
+    v = -(code + 1)
+    return v // 256, v % 256
+
+
+def build_packet_bvh(mesh: MeshData, bvh: LBVHData, max_cluster: int = 8
+                     ) -> PacketBVH:
+    """Host-side collapse (numpy; runs once at scene load)."""
+    k = max_cluster
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    prim = np.asarray(bvh.prim_index)
+    amin = np.stack([np.asarray(bvh.aabb_min.x), np.asarray(bvh.aabb_min.y),
+                     np.asarray(bvh.aabb_min.z)], -1)
+    amax = np.stack([np.asarray(bvh.aabb_max.x), np.asarray(bvh.aabb_max.y),
+                     np.asarray(bvh.aabb_max.z)], -1)
+    total = left.shape[0]
+    n = (total + 1) // 2          # leaves
+    num_internal = n - 1
+    leaf_base = num_internal
+
+    # ---- subtree sorted-prim ranges (bottom-up level propagation) ----------
+    lo = np.full(total, -1, np.int64)
+    hi = np.full(total, -1, np.int64)
+    lo[leaf_base:] = np.arange(n)
+    hi[leaf_base:] = np.arange(n)
+    lc = np.maximum(left, 0)
+    rc = np.maximum(right, 0)
+    for _ in range(72):
+        new_lo = np.where(np.arange(total) < num_internal,
+                          np.minimum(lo[lc], lo[rc]), lo)
+        new_hi = np.where(np.arange(total) < num_internal,
+                          np.maximum(hi[lc], hi[rc]), hi)
+        if np.array_equal(new_lo, lo) and np.array_equal(new_hi, hi):
+            break
+        lo, hi = new_lo, new_hi
+    assert lo[0] == 0 and hi[0] == n - 1, "range propagation did not converge"
+    size = hi - lo + 1
+
+    # ---- choose top-tree internals (size > k) -------------------------------
+    is_top = (np.arange(total) < num_internal) & (size > k)
+    top_ids = np.nonzero(is_top)[0]
+    remap = np.full(total, -1, np.int64)
+    remap[top_ids] = np.arange(top_ids.size)
+
+    def child_code(c: int) -> int:
+        if c < num_internal and is_top[c]:
+            return int(remap[c])
+        # cluster leaf: contiguous sorted range, possibly split into <=k chunks
+        return encode_cluster(int(lo[c]), int(size[c]))
+
+    if top_ids.size == 0:
+        # tiny scene: fabricate one root splitting prims in two clusters
+        half = max(1, n // 2)
+        nodes_f32 = np.zeros((1, 16), np.float32)
+        nodes_f32[0, 0:3] = amin[0] - 1e-3
+        nodes_f32[0, 3:6] = amax[0] + 1e-3
+        nodes_f32[0, 6:9] = amin[0] - 1e-3
+        nodes_f32[0, 9:12] = amax[0] + 1e-3
+        node_child = np.array(
+            [[encode_cluster(0, half), encode_cluster(half, n - half)]],
+            np.int32)
+    else:
+        nt = top_ids.size
+        nodes_f32 = np.zeros((nt, 16), np.float32)
+        node_child = np.zeros((nt, 2), np.int32)
+        l_of = left[top_ids]
+        r_of = right[top_ids]
+        nodes_f32[:, 0:3] = amin[l_of]
+        nodes_f32[:, 3:6] = amax[l_of]
+        nodes_f32[:, 6:9] = amin[r_of]
+        nodes_f32[:, 9:12] = amax[r_of]
+        for t_i, (lc_i, rc_i) in enumerate(zip(l_of, r_of)):
+            node_child[t_i, 0] = child_code(int(lc_i))
+            node_child[t_i, 1] = child_code(int(rc_i))
+        # note: remap preserves original order and original root==0 is top
+        # (size[0] == n > k), so top root is node 0.
+
+    # clusters larger than k: split ranges into k-sized chunks by rewriting
+    # the encoding at traversal time is not possible, so split here by
+    # chaining: encode only up to 255 and let the kernel loop count times in
+    # chunks of k. (count fits 8 bits; k <= count <= 255 handled in-kernel.)
+    assert np.all(size[~is_top & (np.arange(total) < num_internal)] <= 255), \
+        "cluster too large for 8-bit count; raise max_cluster"
+
+    # ---- sorted triangle table ---------------------------------------------
+    sorted_prims = prim[leaf_base:]
+    if bvh.num_triangles < mesh.num_triangles:
+        raise ValueError("bvh does not cover mesh")
+    p0 = np.stack([np.asarray(mesh.positions.x), np.asarray(mesh.positions.y),
+                   np.asarray(mesh.positions.z)], -1)
+    i0 = np.asarray(mesh.i0)[sorted_prims % mesh.num_triangles]
+    i1 = np.asarray(mesh.i1)[sorted_prims % mesh.num_triangles]
+    i2 = np.asarray(mesh.i2)[sorted_prims % mesh.num_triangles]
+    v0 = p0[i0]
+    e1 = p0[i1] - v0
+    e2 = p0[i2] - v0
+    # pad so any cluster slice [start, start+k) stays in bounds
+    tp = int(np.ceil((n + k) / 8) * 8)
+    tri_f32 = np.zeros((tp, 16), np.float32)
+    tri_f32[:n, 0:3] = v0
+    tri_f32[:n, 3:6] = e1
+    tri_f32[:n, 6:9] = e2
+    tri_f32[:n, 9] = (sorted_prims % mesh.num_triangles).astype(np.float32)
+    # padding rows: degenerate (e1=e2=0 -> det==0 -> never hit)
+
+    return PacketBVH(
+        node_f32=jnp.asarray(nodes_f32),
+        node_child=jnp.asarray(node_child),
+        tri_f32=jnp.asarray(tri_f32),
+        num_nodes=int(nodes_f32.shape[0]),
+        num_triangles=int(n),
+        max_cluster=k,
+    )

@@ -1,0 +1,364 @@
+"""Pallas packet-traversal kernels — the performance ray-cast backend.
+
+Design (from measured v5e behavior, not translated from CUDA):
+- Mosaic has no per-lane VMEM gather, so per-ray SIMT traversal (the CUDA
+  model, /root/reference/src/kernels/ray_cast.cu) cannot map. Instead each
+  grid step owns a *packet* of 8x128 = 1024 rays sharing ONE traversal
+  stack in SMEM (scalar memory). Per step: pop a node (scalar), fetch its
+  two child AABBs with one dynamic row slice from the VMEM node table,
+  test them against all 1024 lanes densely on the VPU, and push children
+  any lane hit — nearer child on top (packet-min t_near ordering).
+- Leaves are clusters of <= K morton-contiguous triangles (bvh/pack.py):
+  one contiguous (K, 16) slice fetches the whole cluster; Moller-Trumbore
+  runs K times over all lanes with static unrolling.
+- Dead lanes carry best_t = t_max <= 0, so fully-dead packets fail the
+  root AABB test and exit after one step — per-bounce "compaction" without
+  moving any data.
+- Measured step costs: internal-node step ~370 ns (dominated by VPU box
+  math — near issue-rate); the per-kernel dispatch overhead (~3 ms on this
+  runtime) is amortized by the enclosing jitted frame function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.vec import Vec3
+from ..integrators.intersect import FLT_MAX, HitRecord
+from .pack import PacketBVH
+
+LANES = 128
+SUBLANES = 8
+PACKET = SUBLANES * LANES
+_INF = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
+
+
+def _safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
+
+
+def _slab(row, base, ox, oy, oz, ix, iy, iz, limit):
+    """Child AABB slab test; box faces come from scalar extracts of `row`
+    starting at column `base`. Returns (hit, t_near)."""
+    t0x = (row[0, base + 0] - ox) * ix
+    t0y = (row[0, base + 1] - oy) * iy
+    t0z = (row[0, base + 2] - oz) * iz
+    t1x = (row[0, base + 3] - ox) * ix
+    t1y = (row[0, base + 4] - oy) * iy
+    t1z = (row[0, base + 5] - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.minimum(jnp.maximum(t0z, t1z), limit))
+    return (tn <= tf), tn
+
+
+def _mt_scalar_tri(block, j, ox, oy, oz, dx, dy, dz):
+    """Moller-Trumbore of triangle row j (scalars) against all lanes.
+    Returns (t, u, v, hit_geom) — caller applies t-range and validity."""
+    v0x = block[j, 0]
+    v0y = block[j, 1]
+    v0z = block[j, 2]
+    e1x = block[j, 3]
+    e1y = block[j, 4]
+    e1z = block[j, 5]
+    e2x = block[j, 6]
+    e2y = block[j, 7]
+    e2z = block[j, 8]
+
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) > 1e-9
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-4)
+    return t, u, v, hit
+
+
+def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
+                 any_hit: bool):
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               nodes_ref, child_ref, tri_ref,
+               *out_refs):
+        stack_ref = out_refs[-1]
+        outs = out_refs[:-1]
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        ix = _safe_inv(dx)
+        iy = _safe_inv(dy)
+        iz = _safe_inv(dz)
+        tmax = tmax_ref[0]
+
+        if any_hit:
+            limit = tmax - 1e-3  # reference shadow-segment shrink
+            # int32 mask: Mosaic cannot yield i1 vectors through scf control flow
+            occluded0 = (limit <= 0.0).astype(jnp.int32)  # dead lanes resolved
+        else:
+            limit = None
+
+        stack_ref[0] = jnp.int32(0)
+
+        best_t0 = jnp.minimum(tmax, _INF)
+        best_tri0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+        zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
+
+        def node_case(code, sp, bt, btri, bu, bv):
+            nid = jnp.clip(code, 0, num_nodes - 1)
+            row = nodes_ref[pl.ds(nid, 1), :]
+            lhit, ltn = _slab(row, 0, ox, oy, oz, ix, iy, iz, bt)
+            rhit, rtn = _slab(row, 6, ox, oy, oz, ix, iy, iz, bt)
+            min_l = jnp.min(jnp.where(lhit, ltn, _INF))
+            min_r = jnp.min(jnp.where(rhit, rtn, _INF))
+            any_l = min_l < _INF
+            any_r = min_r < _INF
+            crow = child_ref[pl.ds(nid, 1), :]
+            cl = crow[0, 0]
+            cr = crow[0, 1]
+            l_first = min_l <= min_r
+            near = jnp.where(l_first, cl, cr)
+            far = jnp.where(l_first, cr, cl)
+            near_ok = jnp.where(l_first, any_l, any_r)
+            far_ok = jnp.where(l_first, any_r, any_l)
+
+            push_far = far_ok & (sp < stack_depth)
+
+            @pl.when(push_far)
+            def _():
+                stack_ref[sp] = far
+
+            sp1 = sp + push_far.astype(jnp.int32)
+            push_near = near_ok & (sp1 < stack_depth)
+
+            @pl.when(push_near)
+            def _():
+                stack_ref[sp1] = near
+
+            sp2 = sp1 + push_near.astype(jnp.int32)
+            return sp2, bt, btri, bu, bv
+
+        def cluster_case(code, sp, bt, btri, bu, bv):
+            val = -(code + 1)
+            start = val // 256
+            count = val % 256
+            block = tri_ref[pl.ds(start, k_cluster), :]
+            for j in range(k_cluster):
+                t, u, v, hitg = _mt_scalar_tri(block, j, ox, oy, oz, dx, dy, dz)
+                hit = hitg & (j < count) & (t < bt)
+                tri_id = block[j, 9].astype(jnp.int32)
+                bt = jnp.where(hit, t, bt)
+                btri = jnp.where(hit, tri_id, btri)
+                bu = jnp.where(hit, u, bu)
+                bv = jnp.where(hit, v, bv)
+            return sp, bt, btri, bu, bv
+
+        # safety bound: no packet can need more steps than nodes+clusters
+        max_steps = 8 * num_nodes + 4096
+
+        if any_hit:
+            def cond(c):
+                step, sp, occ = c
+                return (sp > 0) & (step < max_steps) & (jnp.min(occ) < 1)
+
+            def body(c):
+                step, sp, occ = c
+                code = stack_ref[sp - 1]
+                sp = sp - 1
+                is_node = code >= 0
+
+                def nc(args):
+                    sp, occ = args
+                    nid = jnp.clip(code, 0, num_nodes - 1)
+                    row = nodes_ref[pl.ds(nid, 1), :]
+                    live_limit = jnp.where(occ > 0, 0.0, limit)
+                    lhit, _ = _slab(row, 0, ox, oy, oz, ix, iy, iz, live_limit)
+                    rhit, _ = _slab(row, 6, ox, oy, oz, ix, iy, iz, live_limit)
+                    any_l = jnp.any(lhit)
+                    any_r = jnp.any(rhit)
+                    crow = child_ref[pl.ds(nid, 1), :]
+                    cl = crow[0, 0]
+                    cr = crow[0, 1]
+                    push_l = any_l & (sp < stack_depth)
+
+                    @pl.when(push_l)
+                    def _():
+                        stack_ref[sp] = cl
+
+                    sp1 = sp + push_l.astype(jnp.int32)
+                    push_r = any_r & (sp1 < stack_depth)
+
+                    @pl.when(push_r)
+                    def _():
+                        stack_ref[sp1] = cr
+
+                    return sp1 + push_r.astype(jnp.int32), occ
+
+                def cc(args):
+                    sp, occ = args
+                    val = -(code + 1)
+                    start = val // 256
+                    count = val % 256
+                    block = tri_ref[pl.ds(start, k_cluster), :]
+                    for j in range(k_cluster):
+                        t, u, v, hitg = _mt_scalar_tri(
+                            block, j, ox, oy, oz, dx, dy, dz)
+                        occ = jnp.maximum(
+                            occ,
+                            (hitg & (j < count) & (t < limit)).astype(jnp.int32))
+                    return sp, occ
+
+                sp2, occ2 = jax.lax.cond(is_node, nc, cc, (sp, occ))
+                return step + 1, sp2, occ2
+
+            _, sp_f, occ_f = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(1), occluded0))
+            outs[0][0, :, :] = occ_f
+        else:
+            def cond(c):
+                return (c[0] > 0) & (c[1] < max_steps)
+
+            def body(c):
+                sp, step, bt, btri, bu, bv = c
+                code = stack_ref[sp - 1]
+                sp = sp - 1
+                sp2, bt, btri, bu, bv = jax.lax.cond(
+                    code >= 0,
+                    lambda a: node_case(code, *a),
+                    lambda a: cluster_case(code, *a),
+                    (sp, bt, btri, bu, bv))
+                return sp2, step + 1, bt, btri, bu, bv
+
+            sp_f, _, bt, btri, bu, bv = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(1), jnp.int32(0), best_t0, best_tri0, zeros, zeros))
+            outs[0][0, :, :] = bt
+            outs[1][0, :, :] = btri
+            outs[2][0, :, :] = bu
+            outs[3][0, :, :] = bv
+
+    return kernel
+
+
+def _interpret() -> bool:
+    """Interpreter mode off-TPU so the kernels are testable on the CPU mesh."""
+    return jax.default_backend() != "tpu"
+
+
+def _tile_rays(ori: Vec3, d: Vec3, t_max: jnp.ndarray):
+    n = ori.shape[0]
+    n_pad = -(-n // PACKET) * PACKET
+    nt = n_pad // PACKET
+
+    def pad3(v):
+        return jnp.pad(v, (0, n_pad - n)).reshape(nt, SUBLANES, LANES)
+
+    return (
+        pad3(ori.x), pad3(ori.y), pad3(ori.z),
+        pad3(d.x), pad3(d.y), pad3(d.z),
+        jnp.pad(t_max, (0, n_pad - n)).reshape(nt, SUBLANES, LANES),
+        nt, n,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("stack_depth",))
+def packet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
+                       t_max: jnp.ndarray, stack_depth: int = 64) -> HitRecord:
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max)
+
+    kernel = _make_kernel(pack.num_nodes, pack.max_cluster, stack_depth,
+                          any_hit=False)
+    ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((nt, SUBLANES, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nt, SUBLANES, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((nt, SUBLANES, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nt, SUBLANES, LANES), jnp.float32),
+    ]
+    bt, btri, bu, bv = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[ray_spec] * 7 + [tab_spec] * 3,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(ox, oy, oz, dx, dy, dz, tm, pack.node_f32, pack.node_child, pack.tri_f32)
+
+    flat = lambda a: a.reshape(-1)[:n]
+    bt = flat(bt)
+    btri = flat(btri)
+    return HitRecord(
+        t=jnp.where(btri >= 0, bt, FLT_MAX),
+        tri=btri,
+        u=flat(bu),
+        v=flat(bv),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("stack_depth",))
+def packet_any_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
+                   t_max: jnp.ndarray, stack_depth: int = 64) -> jnp.ndarray:
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max)
+    kernel = _make_kernel(pack.num_nodes, pack.max_cluster, stack_depth,
+                          any_hit=True)
+    ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[ray_spec] * 7 + [tab_spec] * 3,
+        out_specs=[ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((nt, SUBLANES, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(ox, oy, oz, dx, dy, dz, tm, pack.node_f32, pack.node_child, pack.tri_f32)[0]
+    return occ.reshape(-1)[:n].astype(bool)
+
+
+def pallas_closest_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max=None):
+    """Raycaster-seam adapter (common.make_raycaster)."""
+    pack = bvh_or_pack if isinstance(bvh_or_pack, PacketBVH) else None
+    if pack is None:
+        raise ValueError("BVH_PALLAS backend requires a PacketBVH (scene.pack)")
+    if t_max is None:
+        t_max = jnp.full((ori.shape[0],), FLT_MAX)
+    return packet_closest_hit(pack, ori, d, t_max)
+
+
+def pallas_any_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max):
+    pack = bvh_or_pack if isinstance(bvh_or_pack, PacketBVH) else None
+    if pack is None:
+        raise ValueError("BVH_PALLAS backend requires a PacketBVH (scene.pack)")
+    return packet_any_hit(pack, ori, d, t_max)

@@ -48,8 +48,8 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig) -> Raycaster:
         from ..bvh.pallas_traverse import pallas_closest_hit, pallas_any_hit
 
         return Raycaster(
-            closest_hit=lambda o, d, t_max=None: pallas_closest_hit(scene.mesh, scene.bvh, o, d, t_max),
-            any_hit=lambda o, d, t_max: pallas_any_hit(scene.mesh, scene.bvh, o, d, t_max),
+            closest_hit=lambda o, d, t_max=None: pallas_closest_hit(scene.mesh, scene.pack, o, d, t_max),
+            any_hit=lambda o, d, t_max: pallas_any_hit(scene.mesh, scene.pack, o, d, t_max),
             name="bvh_pallas",
         )
     from ..bvh.traverse import bvh_closest_hit, bvh_any_hit

@@ -1,0 +1,275 @@
+"""Wavefront integrator: the reference's staged pipeline (RayGen -> per
+bounce [TraceExtension -> Logic -> Shade -> TraceShadow]) re-designed for
+TPU execution semantics.
+
+Key departures from the CUDA original (/root/reference/src/
+pathtrace_wavefront.cu, src/kernels/*):
+- No queues, no atomic appends, no per-bounce host counter readbacks: the
+  path pool stays lane-aligned (lane == pixel) across the whole frame, and
+  "queues" become lane masks. Measured on v5e, a single physical
+  compaction (lax.sort of 2M keys) costs ~34 ms — more than an entire
+  frame budget — while masked all-lane shading costs ~nothing because the
+  VPU executes every lane regardless. Dead-path skipping instead happens
+  inside the Pallas ray-cast kernels, where fully-dead packets exit after
+  one root-AABB step.
+- Material-sorted shading becomes lane-parallel lobe evaluation + select
+  (materials/bsdf.py).
+- The 4-function engine API (init/frame/free) collapses into a pure
+  function over an explicit WavefrontFrame pytree, so snapshot/resume and
+  multi-chip sharding come for free.
+
+Stage outputs match the reference: separate direct (NEE) and indirect
+(BSDF/emissive/env) radiance channels plus first-bounce G-buffers (depth,
+geometric normal + material id, textured albedo, motion vectors) feeding
+SVGF (/root/reference/src/kernels/logic.cu:67-138).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import rng
+from ..core.camera import Camera, generate_camera_rays
+from ..core.mathutil import (
+    EPSILON,
+    PDF_DIRAC_DELTA,
+    DELTA_THRESHOLD,
+    power_heuristic,
+    perspective_look_at,
+    project_to_screen_uv,
+)
+from ..core.vec import Vec3, where as vwhere
+from ..materials import bsdf
+from ..scene import envmap as envmod
+from ..scene.lights import sample_light
+from ..scene.structs import SceneData
+from .common import (
+    Raycaster,
+    apply_material_textures,
+    get_surface_properties,
+    make_raycaster,
+    oriented_geom_normal,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GBuffers:
+    """First-bounce buffers for SVGF (wavefront_internal.cu:285-301)."""
+
+    depth: jnp.ndarray       # [N] f32, -1000 = sky
+    normal: Vec3             # [N] geometric normal
+    mat_id: jnp.ndarray      # [N] int32, -1 = sky
+    albedo: Vec3             # [N] textured basecolor
+    motion_u: jnp.ndarray    # [N] pixel-space motion vector
+    motion_v: jnp.ndarray
+
+    @staticmethod
+    def zeros(n: int) -> "GBuffers":
+        return GBuffers(
+            depth=jnp.full((n,), -1000.0),
+            normal=Vec3.zeros((n,)),
+            mat_id=jnp.full((n,), -1, jnp.int32),
+            albedo=Vec3.ones((n,)),
+            motion_u=jnp.zeros((n,)),
+            motion_v=jnp.zeros((n,)),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FrameOutput:
+    direct: Vec3     # [N] NEE radiance
+    indirect: Vec3   # [N] BSDF/emissive/env radiance
+    gbuf: GBuffers
+    rays_traced: jnp.ndarray  # scalar int32 (extension+shadow), for MRays/s
+
+
+def trace_frame(scene: SceneData, raycaster: Raycaster, cam: Camera,
+                cfg: RenderConfig, iteration: jnp.ndarray,
+                view_proj: jnp.ndarray, prev_view_proj: jnp.ndarray
+                ) -> FrameOutput:
+    """One 1-spp wavefront frame over the full fixed path pool."""
+    n = cam.num_pixels
+    w, h = cam.resolution
+    ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
+
+    direct = Vec3.zeros((n,))
+    indirect = Vec3.zeros((n,))
+    throughput = Vec3.ones((n,))
+    last_pdf = jnp.zeros((n,))
+    alive = jnp.ones((n,), bool)
+    gbuf = GBuffers.zeros(n)
+    rays = jnp.zeros((), jnp.int32)
+    has_lights = scene.lights.num_lights > 0
+
+    def bounce(depth, carry):
+        (ori, direction, throughput, last_pdf, state, alive,
+         direct, indirect, gbuf, rays) = carry
+        first = depth == 0
+
+        # ---- TraceExtensionRay stage -------------------------------------
+        hit = raycaster.closest_hit(ori, direction)
+        rays = rays + jnp.sum(alive.astype(jnp.int32))
+
+        # ---- Logic stage ----------------------------------------------------
+        mats = bsdf.gather_materials(scene.materials, jnp.take(
+            scene.mesh.material_ids, jnp.maximum(hit.tri, 0), mode="clip"))
+        n_sh, uu, vv = get_surface_properties(
+            scene.mesh, scene.atlas, mats, hit.tri, hit.u, hit.v)
+        mats_tex = apply_material_textures(mats, scene.atlas, uu, vv)
+        wo = -1.0 * direction
+        ng_raw = scene.mesh.geom_normals.take(jnp.maximum(hit.tri, 0))
+        ng = oriented_geom_normal(scene.mesh, hit.tri, wo)
+        point = ori + direction * hit.t
+
+        # miss -> environment into indirect
+        miss = alive & ~hit.hit_mask
+        if scene.env.enabled:
+            env_l = envmod.env_radiance(scene.env, direction)
+            pdf_env = envmod.env_pdf(scene.env, direction)
+            w_mis = jnp.where(
+                first | (last_pdf > DELTA_THRESHOLD), 1.0,
+                power_heuristic(last_pdf, pdf_env))
+            indirect = indirect + vwhere(miss, throughput * env_l * w_mis,
+                                         Vec3.zeros((n,)))
+
+        # first bounce -> G-buffers + motion vectors
+        def write_gbuf(gbuf):
+            sky = miss
+            depth_b = jnp.where(sky, -1000.0, hit.t)
+            normal_b = vwhere(sky, Vec3.zeros((n,)), ng_raw)
+            matid_b = jnp.where(sky, -1, jnp.take(
+                scene.mesh.material_ids, jnp.maximum(hit.tri, 0), mode="clip"))
+            albedo_b = vwhere(sky, Vec3.ones((n,)), mats_tex.basecolor)
+            u_c, v_c, ok_c = project_to_screen_uv(point, view_proj)
+            u_p, v_p, ok_p = project_to_screen_uv(point, prev_view_proj)
+            mu = jnp.where(~sky & ok_c & ok_p, (u_c - u_p) * w, 0.0)
+            mv = jnp.where(~sky & ok_c & ok_p, (v_c - v_p) * h, 0.0)
+            return GBuffers(depth=depth_b, normal=normal_b, mat_id=matid_b,
+                            albedo=albedo_b, motion_u=mu, motion_v=mv)
+
+        gbuf = jax.lax.cond(first, write_gbuf, lambda g: g, gbuf)
+        alive = alive & hit.hit_mask
+
+        # emissive hit -> MIS -> indirect, kill
+        emissive = alive & (mats_tex.emittance > 0.0)
+        cos_light = jnp.maximum(n_sh.dot(wo), 0.0)
+        pdf_la = 1.0 / jnp.maximum(scene.lights.total_area, 1e-20)
+        pdf_lsa = pdf_la * (hit.t * hit.t) / jnp.maximum(cos_light, 1e-20)
+        w_emis = jnp.where(
+            first | (last_pdf > 0.9 * PDF_DIRAC_DELTA) | (not has_lights),
+            1.0,
+            jnp.where(cos_light > EPSILON,
+                      power_heuristic(last_pdf, pdf_lsa), 0.0))
+        indirect = indirect + vwhere(
+            emissive,
+            throughput * mats_tex.basecolor * (mats_tex.emittance * w_emis),
+            Vec3.zeros((n,)))
+        alive = alive & ~emissive
+
+        # ---- Shade stage: NEE -> ShadowQueue analogue ----------------------
+        if has_lights:
+            state, lp, ln, pdf_area, ltri = sample_light(
+                scene.mesh, scene.lights, state)
+            to_l = lp - point
+            dist = to_l.length()
+            wi_l = to_l * (1.0 / jnp.maximum(dist, 1e-20))
+            dist_sq = jnp.maximum(1e-6, dist * dist)
+            cos_surf = jnp.maximum(n_sh.dot(wi_l), 0.0)
+            cos_l = jnp.maximum(ln.dot(-1.0 * wi_l), 0.0)
+            front = ng.dot(wi_l) > 0.0
+            lmat = bsdf.gather_materials(
+                scene.materials,
+                jnp.take(scene.mesh.material_ids, ltri, mode="clip"))
+            le = lmat.basecolor * lmat.emittance
+            f = bsdf.eval_bsdf(wo, wi_l, n_sh, mats_tex)
+            pdf_b = bsdf.pdf_bsdf(wo, wi_l, n_sh, mats_tex)
+            pdf_l_sa = pdf_area * dist_sq / jnp.maximum(cos_l, 1e-20)
+            w_nee = power_heuristic(pdf_l_sa, pdf_b)
+            contrib = throughput * le * f * (
+                cos_surf * cos_l / dist_sq * w_nee / pdf_area)
+            is_delta = (mats_tex.mtype == 2) | (mats_tex.mtype == 3)
+            nee_mask = (alive & front & ~is_delta & (cos_surf > 0.0)
+                        & (cos_l > 0.0) & (contrib.length_sq() > 0.0))
+            # ---- TraceShadowRay stage --------------------------------------
+            shadow_ori = point + ng * EPSILON
+            shadow_t = jnp.where(nee_mask, dist, 0.0)  # dead shadow lanes
+            occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
+            rays = rays + jnp.sum(nee_mask.astype(jnp.int32))
+            direct = direct + vwhere(nee_mask & ~occluded, contrib,
+                                     Vec3.zeros((n,)))
+        else:
+            state, _ = rng.rand_float(state)
+            state, _ = rng.rand_float(state)
+            state, _ = rng.rand_float(state)
+
+        # ---- BSDF sample + path update -------------------------------------
+        state, smp = bsdf.sample_bsdf(wo, n_sh, mats_tex, state)
+        valid = (smp.pdf > 0.0) & (smp.attenuation.length_sq() > 0.0)
+        exiting = smp.wi.dot(ng) > 0.0
+        valid = valid & (exiting | smp.is_transmission)
+        bias_n = vwhere(exiting, ng, -1.0 * ng)
+
+        throughput = vwhere(alive & valid, throughput * smp.attenuation,
+                            throughput)
+        ori = vwhere(alive & valid, point + bias_n * EPSILON, ori)
+        direction = vwhere(alive & valid, smp.wi, direction)
+        last_pdf = jnp.where(alive & valid, smp.pdf, last_pdf)
+        alive = alive & valid
+
+        return (ori, direction, throughput, last_pdf, state, alive,
+                direct, indirect, gbuf, rays)
+
+    carry = (ori, direction, throughput, last_pdf, state, alive,
+             direct, indirect, gbuf, rays)
+    carry = jax.lax.fori_loop(0, cfg.trace_depth, bounce, carry)
+    direct, indirect, gbuf, rays = carry[6], carry[7], carry[8], carry[9]
+
+    nan_guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
+    return FrameOutput(direct=nan_guard(direct), indirect=nan_guard(indirect),
+                       gbuf=gbuf, rays_traced=rays)
+
+
+def camera_view_proj(cam: Camera) -> jnp.ndarray:
+    w, h = cam.resolution
+    return jnp.asarray(perspective_look_at(
+        cam.position, cam.look_at, cam.up, cam.fovy_deg, w / h))
+
+
+def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig):
+    """Jitted fn(iteration, prev_vp, accum_direct, accum_indirect)
+    -> (FrameOutput, new accumulators)."""
+    raycaster = make_raycaster(scene, cfg)
+    vp = camera_view_proj(cam)
+
+    @jax.jit
+    def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
+        out = trace_frame(scene, raycaster, cam, cfg, iteration, vp, prev_vp)
+        return out, acc_direct + out.direct, acc_indirect + out.indirect
+
+    return frame, vp
+
+
+def render(scene: SceneData, cam: Camera, cfg: RenderConfig,
+           iterations: Optional[int] = None, start_iter: int = 1):
+    """Headless accumulate-and-average (no denoiser): returns [H, W, 3]."""
+    iters = iterations if iterations is not None else cfg.iterations
+    if iters <= 0:
+        w, h = cam.resolution
+        import numpy as np
+
+        return np.zeros((h, w, 3), np.float32)
+    frame, vp = make_frame_fn(scene, cam, cfg)
+    acc_d = Vec3.zeros((cam.num_pixels,))
+    acc_i = Vec3.zeros((cam.num_pixels,))
+    for it in range(start_iter, start_iter + iters):
+        out, acc_d, acc_i = frame(jnp.uint32(it), vp, acc_d, acc_i)
+    w, h = cam.resolution
+    img = ((acc_d + acc_i) * (1.0 / iters)).stacked().reshape(h, w, 3)
+    return jax.device_get(img)

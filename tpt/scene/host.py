@@ -80,9 +80,12 @@ class HostScene:
         atlas = self.atlas.build()
         env = self.env_map if self.env_map is not None else EnvMap.disabled()
         bvh = None
+        pack = None
         if with_bvh:
             from ..bvh.build import build_lbvh
+            from ..bvh.pack import build_packet_bvh
 
             bvh = build_lbvh(mesh)
+            pack = build_packet_bvh(mesh, bvh)
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
-                         env=env, bvh=bvh)
+                         env=env, bvh=bvh, pack=pack)

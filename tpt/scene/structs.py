@@ -194,3 +194,4 @@ class SceneData:
     atlas: TextureAtlas
     env: EnvMap
     bvh: Optional[LBVHData] = None
+    pack: Optional["object"] = None  # PacketBVH (bvh/pack.py), Pallas backend
