@@ -1,0 +1,157 @@
+"""Renderer façade: the reference's 4-function engine contract
+(PathtraceInit / Pathtrace / PathtraceFree / InitDataContainer,
+/root/reference/src/main.cpp:18-70) as an explicit-state TPU engine.
+
+Init == build jitted functions + zero state pytrees; a frame == one jit
+call; free == drop references. Adds the reference GUI's per-frame
+analytics (traced depth, MRays/s, frame ms) and display-channel selection
+(result/normal/depth/albedo/motion — common/utilities.h:21-27).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DisplayMode, RenderConfig, RenderMode
+from .core.camera import Camera
+from .core.vec import Vec3
+from .denoise.svgf import SVGFState, run_svgf
+from .integrators import megakernel, wavefront
+from .scene.structs import SceneData
+
+
+@dataclass
+class GuiData:
+    """Analytics mirror of the reference GuiDataContainer."""
+
+    traced_depth: int = 0
+    mrays_per_sec: float = 0.0
+    frame_ms: float = 0.0
+    denoiser_on: bool = False
+    display_mode: DisplayMode = DisplayMode.RESULT
+
+
+class Renderer:
+    """Stateful wrapper (host side): owns accumulators + SVGF history.
+
+    frame(iteration) -> float32 [H, W, 3] image for display/save.
+    """
+
+    def __init__(self, scene: SceneData, cam: Camera, cfg: RenderConfig):
+        self.scene = scene
+        self.cam = cam
+        self.cfg = cfg
+        self.gui = GuiData(denoiser_on=cfg.denoiser_on, display_mode=cfg.display)
+        w, h = cam.resolution
+        self._shape = (h, w)
+        self.reset()
+
+        if cfg.mode == RenderMode.MEGAKERNEL:
+            self._mega_step = megakernel.make_sample_fn(scene, cam, cfg)
+            self._frame_fn = None
+        else:
+            self._frame_fn, self._vp = wavefront.make_frame_fn(scene, cam, cfg)
+            self._prev_vp = self._vp
+            self._svgf_fn = jax.jit(
+                lambda st, out: self._svgf_impl(st, out))
+
+    # -- state ---------------------------------------------------------------
+    def reset(self):
+        """Camera moved / first frame: clear accumulation (the reference
+        re-inits the whole tracer — main.cpp:310-321; here it is just
+        zeroing pytrees)."""
+        n = self.cam.num_pixels
+        h, w = self._shape
+        self.iteration = 0
+        self.acc_direct = Vec3.zeros((n,))
+        self.acc_indirect = Vec3.zeros((n,))
+        self.acc_mega = Vec3.zeros((n,))
+        self.svgf_state = SVGFState.zeros(h, w)
+
+    def move_camera(self, cam: Camera):
+        self.cam = cam
+        if self.cfg.mode == RenderMode.MEGAKERNEL:
+            self._mega_step = megakernel.make_sample_fn(self.scene, cam, self.cfg)
+        else:
+            self._prev_vp = getattr(self, "_vp", None)
+            self._frame_fn, self._vp = wavefront.make_frame_fn(
+                self.scene, cam, self.cfg)
+            if self._prev_vp is None:
+                self._prev_vp = self._vp
+        prev_vp = getattr(self, "_prev_vp", None)
+        self.reset()
+        if prev_vp is not None and self.cfg.mode != RenderMode.MEGAKERNEL:
+            self._prev_vp = prev_vp  # keep for motion vectors
+
+    # -- svgf glue -------------------------------------------------------------
+    def _svgf_impl(self, st: SVGFState, out):
+        h, w = self._shape
+        plane = lambda a: a.reshape(h, w)
+        p3 = lambda v: Vec3(plane(v.x), plane(v.y), plane(v.z))
+        rgb, new_state = run_svgf(
+            self.cfg.svgf, st,
+            p3(out.direct), p3(out.indirect),
+            p3(out.gbuf.albedo), plane(out.gbuf.depth), p3(out.gbuf.normal),
+            plane(out.gbuf.mat_id), plane(out.gbuf.motion_u),
+            plane(out.gbuf.motion_v))
+        return rgb, new_state
+
+    # -- frame -----------------------------------------------------------------
+    def frame(self) -> np.ndarray:
+        self.iteration += 1
+        it = jnp.uint32(self.iteration)
+        h, w = self._shape
+        t0 = time.perf_counter()
+
+        if self.cfg.mode == RenderMode.MEGAKERNEL:
+            self.acc_mega = self._mega_step(it, self.acc_mega)
+            img = (self.acc_mega * (1.0 / self.iteration)).stacked()
+            img = jax.device_get(img).reshape(h, w, 3)
+            rays = self.cam.num_pixels * self.cfg.trace_depth
+        else:
+            if self.gui.denoiser_on:
+                # real-time mode: 1 spp per frame, no accumulation
+                self.acc_direct = Vec3.zeros((self.cam.num_pixels,))
+                self.acc_indirect = Vec3.zeros((self.cam.num_pixels,))
+            out, self.acc_direct, self.acc_indirect = self._frame_fn(
+                it, self._prev_vp, self.acc_direct, self.acc_indirect)
+            self._prev_vp = self._vp
+            rays = int(out.rays_traced)
+
+            if self.gui.denoiser_on:
+                rgb, self.svgf_state = self._svgf_fn(self.svgf_state, out)
+                img = jax.device_get(rgb.stacked())
+            else:
+                img = self._display(out)
+
+        dt = time.perf_counter() - t0
+        self.gui.frame_ms = dt * 1000.0
+        self.gui.mrays_per_sec = rays / dt / 1e6
+        self.gui.traced_depth = self.cfg.trace_depth
+        return np.asarray(img).reshape(h, w, 3)
+
+    def _display(self, out) -> np.ndarray:
+        """Display-channel selection (pathtrace_wavefront.cu:82-109)."""
+        h, w = self._shape
+        mode = self.gui.display_mode
+        if mode == DisplayMode.NORMAL:
+            img = (out.gbuf.normal * 0.5 + 0.5).stacked()
+        elif mode == DisplayMode.DEPTH:
+            d = jnp.clip(out.gbuf.depth / 1000.0, 0.0, 1.0)
+            img = jnp.stack([d, d, d], axis=-1)
+        elif mode == DisplayMode.ALBEDO:
+            img = out.gbuf.albedo.stacked()
+        elif mode == DisplayMode.MOTION_VECTOR:
+            mu = jnp.abs(out.gbuf.motion_u) / 8.0
+            mv = jnp.abs(out.gbuf.motion_v) / 8.0
+            img = jnp.stack([mu, mv, jnp.zeros_like(mu)], axis=-1)
+        else:
+            acc = (self.acc_direct + self.acc_indirect) * (1.0 / self.iteration)
+            img = acc.stacked()
+        return jax.device_get(img).reshape(h, w, 3)
