@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: wavefront throughput in Mpaths/s at 1080p on a
+143k-triangle interior (stand-in for the reference's Fireplace Room, which
+is not shipped in-repo — same triangle count, mixed materials in the same
+class proportions, one area light; see tpt/scene/procedural.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 31.72 Mpaths/s — the reference wavefront on an RTX 3060 Laptop
+(/root/reference/README.md:46; BASELINE.md).
+
+Env knobs: BENCH_FRAMES (default 3), BENCH_FAST=1 (tiny scene, smoke only).
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_MPATHS = 31.72
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tpt.config import RayCastBackend, RenderConfig
+    from tpt.core.vec import Vec3
+    from tpt.integrators import wavefront
+    from tpt.scene import procedural
+
+    fast = os.environ.get("BENCH_FAST") == "1"
+    frames = int(os.environ.get("BENCH_FRAMES", "3"))
+    on_tpu = jax.default_backend() == "tpu"
+
+    if fast:
+        res, tris, depth = (256, 144), 20_000, 4
+    else:
+        res, tris, depth = (1920, 1080), 143_000, 8
+
+    t0 = time.time()
+    host = procedural.stress_interior(num_triangles=tris, resolution=res)
+    backend = RayCastBackend.BVH_PALLAS if on_tpu else RayCastBackend.BVH_XLA
+    data = host.build(with_bvh=True)
+    jax.block_until_ready(data.pack.tri_f32)
+    print(f"[bench] scene ready: {host.mesh.num_triangles} tris, "
+          f"backend={backend.name} ({time.time() - t0:.1f}s)", file=sys.stderr)
+
+    cfg = RenderConfig(backend=backend, trace_depth=depth)
+    frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
+    n = host.camera.num_pixels
+    acc_d = Vec3.zeros((n,))
+    acc_i = Vec3.zeros((n,))
+
+    # warmup/compile
+    t0 = time.time()
+    out, acc_d, acc_i = frame(jnp.uint32(1), vp, acc_d, acc_i)
+    jax.block_until_ready(acc_d.x)
+    print(f"[bench] compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    total_rays = 0
+    for it in range(2, 2 + frames):
+        out, acc_d, acc_i = frame(jnp.uint32(it), vp, acc_d, acc_i)
+        jax.block_until_ready(acc_d.x)
+        total_rays += int(out.rays_traced)
+    dt = time.time() - t0
+
+    mpaths = n * frames / dt / 1e6
+    print(f"[bench] {frames} frames in {dt:.2f}s  "
+          f"({dt / frames * 1000:.0f} ms/frame, "
+          f"{total_rays / dt / 1e6:.1f} MRays/s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "wavefront_throughput_1080p_143k_tris",
+        "value": round(mpaths, 4),
+        "unit": "Mpaths/s",
+        "vs_baseline": round(mpaths / BASELINE_MPATHS, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

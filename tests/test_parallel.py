@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpt.config import RayCastBackend, RenderConfig
+from tpt.integrators import wavefront
+from tpt.parallel.sharding import make_pixel_mesh, make_sharded_step, render_sharded
+from tpt.scene import procedural
+
+
+@pytest.fixture(scope="module")
+def cornell64():
+    scene = procedural.cornell_box(resolution=(64, 64), spheres=False)
+    return scene, scene.build()
+
+
+CFG = RenderConfig(backend=RayCastBackend.BRUTE_FORCE, trace_depth=3)
+
+
+class TestSharding:
+    def test_eight_device_mesh(self, cornell64):
+        assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPUs
+
+    def test_sharded_matches_single(self, cornell64):
+        """Pixel-sharded render must equal the single-device render bitwise
+        (pure data parallel; no cross-pixel coupling without SVGF)."""
+        scene, data = cornell64
+        single = wavefront.render(data, scene.camera, CFG, iterations=2)
+        mesh = make_pixel_mesh(jax.devices()[:8])
+        sharded = render_sharded(data, scene.camera, CFG, mesh=mesh,
+                                 iterations=2, with_svgf=False)
+        np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+    def test_sharded_with_svgf_halos(self, cornell64):
+        """Row sharding + SVGF stencils: GSPMD halo exchange path executes
+        and produces a finite, lit image."""
+        scene, data = cornell64
+        mesh = make_pixel_mesh(jax.devices()[:8])
+        cfg = CFG.with_(denoiser_on=True)
+        img = render_sharded(data, scene.camera, cfg, mesh=mesh,
+                             iterations=2, with_svgf=True)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01
+
+    def test_output_actually_sharded(self, cornell64):
+        scene, data = cornell64
+        mesh = make_pixel_mesh(jax.devices()[:8])
+        step, init_state, vp = make_sharded_step(
+            data, scene.camera, CFG, mesh, with_svgf=False)
+        carry = init_state()
+        rgb, carry = step(jnp.uint32(1), vp, carry)
+        acc_d = carry[0]
+        shard_devs = {s.device for s in acc_d.x.addressable_shards}
+        assert len(shard_devs) == 8  # really spread over the mesh
+
+
+class TestGraftEntry:
+    def test_entry(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import entry
+
+        fn, args = entry()
+        out = jax.jit(fn)(*args)
+        leaves = jax.tree_util.tree_leaves(out)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-v"]))

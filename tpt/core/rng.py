@@ -16,7 +16,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 UINT = jnp.uint32
-_INV_2_32 = jnp.float32(2.3283064365386963e-10)  # 1 / 2^32
+_INV_2_32 = 2.3283064365386963e-10  # 1 / 2^32 (python float: no device op at import)
 
 
 def wang_hash(seed: jnp.ndarray) -> jnp.ndarray:

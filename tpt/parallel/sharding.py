@@ -1,0 +1,117 @@
+"""Multi-chip rendering via jax.sharding — pixels sharded over a device
+mesh, scene replicated, XLA inserting the collectives.
+
+The reference is strictly single-GPU (SURVEY.md §2: no multi-device code
+anywhere); this module is the TPU-native scaling story on top of the same
+frame function: path tracing is embarrassingly parallel over pixels, so
+the wavefront frame shards over a 'dp' axis with zero communication in
+the bounce loop (all scene tables are replicated; every gather is from a
+replicated operand). SVGF's spatial stencils shard over image rows, where
+GSPMD inserts halo exchanges (collective-permute) automatically — the
+only inter-chip traffic in the whole frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..core.camera import Camera
+from ..core.vec import Vec3
+from ..denoise.svgf import SVGFState, run_svgf
+from ..integrators import wavefront
+from ..integrators.common import make_raycaster
+from ..scene.structs import SceneData
+
+
+def make_pixel_mesh(devices: Optional[Sequence] = None,
+                    axis: str = "dp") -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_paths(mesh: Mesh, tree, axis: str = "dp"):
+    """Place every flat per-path array in `tree` sharded over the mesh."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
+                      mesh: Mesh, axis: str = "dp", with_svgf: bool = True):
+    """Jitted full step over the mesh: one wavefront 1-spp frame (pixels
+    sharded) + SVGF (rows sharded, halo exchange) + accumulation.
+
+    Returns (step_fn, init_state_fn). step_fn(iteration, prev_vp, carry)
+    -> (rgb [H, W] Vec3 row-sharded, carry')."""
+    raycaster = make_raycaster(scene, cfg)
+    vp = wavefront.camera_view_proj(cam)
+    w, h = cam.resolution
+    n = cam.num_pixels
+
+    path_sh = NamedSharding(mesh, P(axis))
+    row_sh = NamedSharding(mesh, P(axis, None))
+    repl_sh = NamedSharding(mesh, P())
+
+    def init_state():
+        acc_d = shard_paths(mesh, Vec3.zeros((n,)), axis)
+        acc_i = shard_paths(mesh, Vec3.zeros((n,)), axis)
+        svgf_state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(
+                a, row_sh if getattr(a, "ndim", 0) == 2 else repl_sh),
+            SVGFState.zeros(h, w))
+        return acc_d, acc_i, svgf_state
+
+    scene_repl = replicate(mesh, scene)
+
+    @partial(jax.jit, static_argnames=())
+    def step(iteration, prev_vp, carry):
+        acc_d, acc_i, svgf_state = carry
+        out = wavefront.trace_frame(
+            scene_repl, raycaster, cam, cfg, iteration, vp, prev_vp)
+        acc_d = acc_d + out.direct
+        acc_i = acc_i + out.indirect
+
+        if with_svgf:
+            plane = lambda a: a.reshape(h, w)
+            p3 = lambda v: Vec3(plane(v.x), plane(v.y), plane(v.z))
+            rgb, svgf_state = run_svgf(
+                cfg.svgf, svgf_state,
+                p3(out.direct), p3(out.indirect), p3(out.gbuf.albedo),
+                plane(out.gbuf.depth), p3(out.gbuf.normal),
+                plane(out.gbuf.mat_id), plane(out.gbuf.motion_u),
+                plane(out.gbuf.motion_v))
+        else:
+            total = acc_d + acc_i
+            rgb = Vec3(total.x.reshape(h, w), total.y.reshape(h, w),
+                       total.z.reshape(h, w))
+        return rgb, (acc_d, acc_i, svgf_state)
+
+    return step, init_state, vp
+
+
+def render_sharded(scene: SceneData, cam: Camera, cfg: RenderConfig,
+                   mesh: Optional[Mesh] = None, iterations: int = 1,
+                   with_svgf: bool = False):
+    """Convenience: accumulate `iterations` sharded frames, gather image."""
+    mesh = mesh or make_pixel_mesh()
+    step, init_state, vp = make_sharded_step(
+        scene, cam, cfg, mesh, with_svgf=with_svgf)
+    carry = init_state()
+    rgb = None
+    for it in range(1, iterations + 1):
+        rgb, carry = step(jnp.uint32(it), vp, carry)
+    if not with_svgf:
+        rgb = rgb * (1.0 / iterations)
+    img = jax.device_get(rgb.stacked())
+    return np.asarray(img)
