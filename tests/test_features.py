@@ -1,0 +1,129 @@
+"""Tests for the optional integrator features: russian roulette, heavy
+shading stress, env NEE, BVH heatmap, checkpoint/resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpt.config import DisplayMode, RayCastBackend, RenderConfig, RenderMode
+from tpt.core.vec import Vec3
+from tpt.integrators import megakernel, wavefront
+from tpt.scene import procedural
+from tpt.scene.envmap import build_envmap
+
+
+CFG = RenderConfig(backend=RayCastBackend.BRUTE_FORCE, trace_depth=4)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene = procedural.cornell_box(resolution=(32, 32), spheres=False)
+    return scene, scene.build()
+
+
+class TestRussianRoulette:
+    def test_unbiasedness(self, cornell):
+        """RR must keep the image mean within MC error of the plain render."""
+        scene, data = cornell
+        base = megakernel.render(data, scene.camera,
+                                 CFG.with_(trace_depth=6), iterations=24)
+        rr = megakernel.render(
+            data, scene.camera,
+            CFG.with_(trace_depth=6, russian_roulette=True, rr_start_bounce=2),
+            iterations=24)
+        assert abs(rr.mean() - base.mean()) / base.mean() < 0.1
+
+    def test_off_by_default_matches(self, cornell):
+        scene, data = cornell
+        a = megakernel.render(data, scene.camera, CFG, iterations=1)
+        b = megakernel.render(data, scene.camera,
+                              CFG.with_(russian_roulette=False), iterations=1)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestHeavyShading:
+    def test_same_image_heavier_compute(self, cornell):
+        """The sin^2+cos^2 chain multiplies by ~1.0: image unchanged within
+        float tolerance, matching the reference's stress experiment."""
+        scene, data = cornell
+        base = megakernel.render(data, scene.camera, CFG, iterations=1)
+        heavy = megakernel.render(data, scene.camera,
+                                  CFG.with_(heavy_shading_iters=64),
+                                  iterations=1)
+        np.testing.assert_allclose(heavy, base, rtol=1e-2, atol=1e-3)
+
+
+class TestEnvNEE:
+    def test_env_nee_reduces_variance(self):
+        """Scene lit only by a concentrated HDR env: direct env sampling must
+        cut variance vs BSDF-only sampling at equal spp."""
+        # open box (no ceiling) so the env is visible
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=False)
+        # drop emissive light: env is the only source
+        for m in scene.materials:
+            m.emittance = 0.0
+        rgb = np.zeros((32, 64, 3), np.float32) + 0.01
+        rgb[4:8, 10:14] = 50.0  # small bright patch
+        env = build_envmap(rgb)
+        scene.env_map = env
+        data = scene.build()
+
+        cfg_b = CFG.with_(trace_depth=3)
+        cfg_n = CFG.with_(trace_depth=3, env_nee=True)
+        imgs_b = [megakernel.render(data, scene.camera, cfg_b, iterations=1,
+                                    start_iter=s) for s in (1, 50)]
+        imgs_n = [megakernel.render(data, scene.camera, cfg_n, iterations=1,
+                                    start_iter=s) for s in (1, 50)]
+        # sample-to-sample variance proxy
+        var_b = np.mean((imgs_b[0] - imgs_b[1]) ** 2)
+        var_n = np.mean((imgs_n[0] - imgs_n[1]) ** 2)
+        assert np.isfinite(var_n)
+        assert var_n < var_b
+
+    def test_matches_without_env(self, cornell):
+        scene, data = cornell
+        a = megakernel.render(data, scene.camera, CFG, iterations=1)
+        b = megakernel.render(data, scene.camera, CFG.with_(env_nee=True),
+                              iterations=1)
+        np.testing.assert_array_equal(a, b)  # env disabled -> no effect
+
+
+class TestHeatmapAndCheckpoint:
+    def test_bvh_heatmap(self):
+        from tpt.engine import Renderer
+
+        scene = procedural.cornell_box(resolution=(32, 32), spheres=True)
+        data = scene.build(with_bvh=True)
+        cfg = RenderConfig(mode=RenderMode.WAVEFRONT,
+                           backend=RayCastBackend.BVH_XLA, trace_depth=2)
+        r = Renderer(data, scene.camera, cfg)
+        hm = r.bvh_heatmap()
+        assert hm.shape == (32, 32, 3)
+        assert np.isfinite(hm).all()
+        assert hm.std() > 0.01  # spheres cost more than walls
+
+    def test_checkpoint_roundtrip(self, cornell, tmp_path):
+        from tpt.engine import Renderer
+
+        scene, data = cornell
+        cfg = RenderConfig(mode=RenderMode.WAVEFRONT,
+                           backend=RayCastBackend.BRUTE_FORCE, trace_depth=3)
+        r = Renderer(data, scene.camera, cfg)
+        r.frame()
+        r.frame()
+        ckpt = str(tmp_path / "state.npz")
+        r.save_checkpoint(ckpt)
+        img_cont = r.frame()
+
+        r2 = Renderer(data, scene.camera, cfg)
+        r2.load_checkpoint(ckpt)
+        img_resumed = r2.frame()
+        np.testing.assert_allclose(img_resumed, img_cont, atol=1e-6)
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-v"]))

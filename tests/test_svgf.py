@@ -145,9 +145,9 @@ class TestEngine:
 
         scene = procedural.cornell_box(resolution=(32, 32), spheres=False)
         cfg = RenderConfig(mode=RenderMode.WAVEFRONT,
-                           backend=RayCastBackend.BRUTE_FORCE,
+                           backend=RayCastBackend.BVH_XLA,
                            trace_depth=2, denoiser_on=False)
-        r = Renderer(scene.build(), scene.camera, cfg)
+        r = Renderer(scene.build(with_bvh=True), scene.camera, cfg)
         for mode in DisplayMode:
             r.gui.display_mode = mode
             img = r.frame()

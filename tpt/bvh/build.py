@@ -204,10 +204,25 @@ def build_lbvh_arrays(v0: Vec3, v1: Vec3, v2: Vec3, refit_iters: int = 64):
     )
 
 
-def build_lbvh(mesh: MeshData, refit_iters: int = 64) -> LBVHData:
-    """Build the LBVH for a mesh. T==1 meshes get a duplicated leaf."""
+def build_lbvh(mesh: MeshData, refit_iters: int = 64,
+               build_on_host: bool = True) -> LBVHData:
+    """Build the LBVH for a mesh. T==1 meshes get a duplicated leaf.
+
+    `build_on_host=True` (default) runs the build graph on the CPU backend
+    and ships the arrays to the accelerator afterwards: the build runs once
+    per scene load, and its heavily-unrolled emit/refit graph compiles in
+    seconds on CPU vs minutes through a TPU compiler. Pass False to build
+    fully on-device (the capability the tests exercise)."""
     t = mesh.num_triangles
     tri_ids = jnp.arange(max(t, 2), dtype=jnp.int32) % max(t, 1)
     v0, v1, v2 = mesh.tri_vertices(tri_ids)
-    arrays = build_lbvh_arrays(v0, v1, v2, refit_iters=refit_iters)
+
+    if build_on_host and jax.default_backend() != "cpu":
+        cpu = jax.local_devices(backend="cpu")[0]
+        default = jax.devices()[0]
+        v0, v1, v2 = jax.device_put((v0, v1, v2), cpu)
+        arrays = build_lbvh_arrays(v0, v1, v2, refit_iters=refit_iters)
+        arrays = jax.device_put(arrays, default)
+    else:
+        arrays = build_lbvh_arrays(v0, v1, v2, refit_iters=refit_iters)
     return LBVHData(num_triangles=max(t, 2), **arrays)

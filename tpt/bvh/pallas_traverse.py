@@ -96,7 +96,7 @@ def _mt_scalar_tri(block, j, ox, oy, oz, dx, dy, dz):
 
 
 def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
-                 any_hit: bool):
+                 any_hit: bool, tri_rows: int = 1 << 30):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, child_ref, tri_ref,
                *out_refs):
@@ -162,7 +162,7 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
 
         def cluster_case(code, sp, bt, btri, bu, bv):
             val = -(code + 1)
-            start = val // 256
+            start = jnp.clip(val // 256, 0, tri_rows - k_cluster)
             count = val % 256
             block = tri_ref[pl.ds(start, k_cluster), :]
             for j in range(k_cluster):
@@ -219,7 +219,7 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
                 def cc(args):
                     sp, occ = args
                     val = -(code + 1)
-                    start = val // 256
+                    start = jnp.clip(val // 256, 0, tri_rows - k_cluster)
                     count = val % 256
                     block = tri_ref[pl.ds(start, k_cluster), :]
                     for j in range(k_cluster):
@@ -289,7 +289,7 @@ def packet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max)
 
     kernel = _make_kernel(pack.num_nodes, pack.max_cluster, stack_depth,
-                          any_hit=False)
+                          any_hit=False, tri_rows=pack.tri_f32.shape[0])
     ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -308,6 +308,7 @@ def packet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
         scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(ox, oy, oz, dx, dy, dz, tm, pack.node_f32, pack.node_child, pack.tri_f32)
@@ -328,7 +329,7 @@ def packet_any_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
                    t_max: jnp.ndarray, stack_depth: int = 64) -> jnp.ndarray:
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max)
     kernel = _make_kernel(pack.num_nodes, pack.max_cluster, stack_depth,
-                          any_hit=True)
+                          any_hit=True, tri_rows=pack.tri_f32.shape[0])
     ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -341,6 +342,7 @@ def packet_any_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
         scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(ox, oy, oz, dx, dy, dz, tm, pack.node_f32, pack.node_child, pack.tri_f32)[0]

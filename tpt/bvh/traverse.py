@@ -133,6 +133,45 @@ def bvh_closest_hit(mesh: MeshData, bvh: LBVHData, ori: Vec3, d: Vec3,
     return _closest_hit_impl(mesh, bvh, ori, d, t_max, stack_depth=stack_depth)
 
 
+@partial(jax.jit, static_argnames=("stack_depth",))
+def traversal_cost(mesh: MeshData, bvh: LBVHData, ori: Vec3, d: Vec3,
+                   stack_depth: int = 64) -> jnp.ndarray:
+    """Per-ray traversal step counts — the data behind the reference's BVH
+    heatmap debug view (/root/reference/src/bvh.cu:518-641). Runs the same
+    lockstep walk counting active steps per lane."""
+    n_rays = ori.shape[0]
+    t_max = jnp.full((n_rays,), FLT_MAX)
+    # piggyback on closest-hit by re-running its loop with a counter
+    n, num_internal = _prep(bvh)
+    inv_d = Vec3(
+        1.0 / jnp.where(jnp.abs(d.x) > 1e-12, d.x, 1e-12),
+        1.0 / jnp.where(jnp.abs(d.y) > 1e-12, d.y, 1e-12),
+        1.0 / jnp.where(jnp.abs(d.z) > 1e-12, d.z, 1e-12),
+    )
+
+    def cond(state):
+        node, _ = state
+        return jnp.any(node >= 0)
+
+    def body(state):
+        node, count = state
+        live = node >= 0
+        node_c = jnp.clip(node, 0, 2 * n - 2)
+        is_leaf = node_c >= num_internal
+        count = count + live.astype(jnp.int32)
+        bhit, _ = _child_aabb_hit(bvh, node_c, ori, inv_d, t_max)
+        descend = live & ~is_leaf & bhit
+        lc = jnp.maximum(jnp.take(bvh.left, node_c, mode="clip"), 0)
+        esc = jnp.take(bvh.escape, node_c, mode="clip")
+        node = jnp.where(live, jnp.where(descend, lc, esc), -1)
+        return node, count
+
+    _, count = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((n_rays,), jnp.int32), jnp.zeros((n_rays,), jnp.int32)))
+    return count
+
+
 @jax.jit
 def bvh_any_hit(mesh: MeshData, bvh: LBVHData, ori: Vec3, d: Vec3,
                 t_max: jnp.ndarray) -> jnp.ndarray:

@@ -19,6 +19,7 @@ class DisplayMode(IntEnum):
     DEPTH = 2
     ALBEDO = 3
     MOTION_VECTOR = 4
+    BVH_HEATMAP = 5  # traversal-cost temperature map (reference bvh.cu:518-641)
 
 
 class RayCastBackend(IntEnum):
@@ -61,6 +62,11 @@ class RenderConfig:
     use_bfloat16_shading: bool = False
     bvh_stack_depth: int = 64
     russian_roulette: bool = False  # reference stub is empty (pathtrace.cu:437)
+    rr_start_bounce: int = 3
+    env_nee: bool = False  # direct env sampling via the live alias table
+    # synthetic shading cost for the megakernel-vs-wavefront stress study
+    # (reference keeps it as commented code — interactions.cu:255-321)
+    heavy_shading_iters: int = 0
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

@@ -136,10 +136,61 @@ class Renderer:
         self.gui.traced_depth = self.cfg.trace_depth
         return np.asarray(img).reshape(h, w, 3)
 
+    def bvh_heatmap(self) -> np.ndarray:
+        """Traversal-cost temperature map for primary rays (the reference's
+        ShowBVH debug view — bvh.cu:518-641 + pathtrace_wavefront.cu:244-267).
+        Requires a BVH-built scene."""
+        from .bvh.traverse import traversal_cost
+        from .core.camera import generate_camera_rays
+
+        if self.scene.bvh is None:
+            raise ValueError("bvh_heatmap requires a scene built with_bvh=True")
+        h, w = self._shape
+        ori, d, _ = generate_camera_rays(self.cam, jnp.uint32(1), jitter=False)
+        cost = np.asarray(
+            jax.device_get(traversal_cost(self.scene.mesh, self.scene.bvh,
+                                          ori, d))).reshape(h, w)
+        t = np.clip(cost / max(1.0, float(np.percentile(cost, 98))), 0.0, 1.0)
+        # blue -> green -> red temperature ramp
+        r = np.clip(2.0 * t - 1.0, 0, 1)
+        g = 1.0 - np.abs(2.0 * t - 1.0)
+        b = np.clip(1.0 - 2.0 * t, 0, 1)
+        return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+    def save_checkpoint(self, path: str):
+        """Snapshot render state (accumulators, SVGF history, iteration) —
+        the pytree-state design makes resume trivial (SURVEY.md §5)."""
+        flat = {}
+        for name, tree in (("acc_direct", self.acc_direct),
+                           ("acc_indirect", self.acc_indirect),
+                           ("acc_mega", self.acc_mega),
+                           ("svgf", self.svgf_state)):
+            leaves, _ = jax.tree_util.tree_flatten(tree)
+            for i, leaf in enumerate(leaves):
+                flat[f"{name}_{i}"] = np.asarray(jax.device_get(leaf))
+        flat["iteration"] = np.int64(self.iteration)
+        np.savez_compressed(path, **flat)
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        self.iteration = int(data["iteration"])
+
+        def restore(name, template):
+            leaves, treedef = jax.tree_util.tree_flatten(template)
+            new = [jnp.asarray(data[f"{name}_{i}"]) for i in range(len(leaves))]
+            return jax.tree_util.tree_unflatten(treedef, new)
+
+        self.acc_direct = restore("acc_direct", self.acc_direct)
+        self.acc_indirect = restore("acc_indirect", self.acc_indirect)
+        self.acc_mega = restore("acc_mega", self.acc_mega)
+        self.svgf_state = restore("svgf", self.svgf_state)
+
     def _display(self, out) -> np.ndarray:
         """Display-channel selection (pathtrace_wavefront.cu:82-109)."""
         h, w = self._shape
         mode = self.gui.display_mode
+        if mode == DisplayMode.BVH_HEATMAP:
+            return self.bvh_heatmap()
         if mode == DisplayMode.NORMAL:
             img = (out.gbuf.normal * 0.5 + 0.5).stacked()
         elif mode == DisplayMode.DEPTH:

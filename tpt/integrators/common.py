@@ -124,6 +124,69 @@ def apply_material_textures(mats: MaterialLanes, atlas: TextureAtlas, uu, vv
     )
 
 
+def heavy_shading_factor(u: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Synthetic shading load: an `iters`-long sin^2+cos^2 chain that
+    multiplies to ~1.0 — the reference's Phase-II stress experiment
+    (/root/reference/src/interactions.cu:255-321, README.md:105-109)."""
+    if iters <= 0:
+        return jnp.ones_like(u)
+
+    def body(i, m):
+        s = jnp.sin(m * 12.9898 + u + i.astype(jnp.float32) * 1e-3)
+        c = jnp.cos(m * 12.9898 + u + i.astype(jnp.float32) * 1e-3)
+        return m * (s * s + c * c)
+
+    return jax.lax.fori_loop(0, iters, body, jnp.ones_like(u))
+
+
+def apply_russian_roulette(cfg, depth, throughput: Vec3, alive, state):
+    """Throughput-proportional termination after cfg.rr_start_bounce (the
+    reference leaves its RR stub empty — pathtrace.cu:437 — so this is
+    off by default for parity; enabling changes the RNG stream)."""
+    if not cfg.russian_roulette:
+        return throughput, alive, state
+    from ..core import rng as rng_mod
+
+    state, u = rng_mod.rand_float(state)
+    p = jnp.clip(throughput.max_component(), 0.05, 1.0)
+    active = alive & (depth >= cfg.rr_start_bounce)
+    kill = active & (u > p)
+    boost = jnp.where(active & ~kill, 1.0 / p, 1.0)
+    return throughput * boost, alive & ~kill, state
+
+
+def compute_env_nee(scene, cfg, raycaster, state, point: Vec3, n_sh: Vec3,
+                    ng: Vec3, wo: Vec3, mats, throughput: Vec3, alive):
+    """Direct environment sampling via the alias table (capability the
+    reference builds but never calls — scene.cpp:183-300 vs the dead
+    sampleEnvironmentMap; live here behind cfg.env_nee). Returns
+    (state, contribution Vec3 masked by visibility)."""
+    from ..core import rng as rng_mod
+    from ..core.mathutil import EPSILON, power_heuristic
+    from ..materials import bsdf as bsdf_mod
+    from ..scene import envmap as envmod
+
+    n = point.shape[0]
+    state, u1 = rng_mod.rand_float(state)
+    state, u2 = rng_mod.rand_float(state)
+    wi, radiance, pdf_env = envmod.sample_env(scene.env, u1, u2)
+    cos_surf = jnp.maximum(n_sh.dot(wi), 0.0)
+    front = ng.dot(wi) > 0.0
+    f = bsdf_mod.eval_bsdf(wo, wi, n_sh, mats)
+    pdf_b = bsdf_mod.pdf_bsdf(wo, wi, n_sh, mats)
+    w_mis = power_heuristic(pdf_env, pdf_b)
+    contrib = throughput * radiance * f * (cos_surf / jnp.maximum(pdf_env, 1e-8) * w_mis)
+    is_delta = (mats.mtype == 2) | (mats.mtype == 3)
+    mask = (alive & front & ~is_delta & (cos_surf > 0.0)
+            & (pdf_env > 0.0) & (contrib.length_sq() > 0.0))
+    shadow_ori = point + ng * EPSILON
+    t_far = jnp.where(mask, jnp.full((n,), 1e7), 0.0)
+    occluded = raycaster.any_hit(shadow_ori, wi, t_far)
+    from ..core.vec import where as vwhere3
+
+    return state, vwhere3(mask & ~occluded, contrib, Vec3.zeros((n,)))
+
+
 def oriented_geom_normal(mesh: MeshData, tri, wo: Vec3) -> Vec3:
     """Face normal flipped into the viewer hemisphere (reference: shading.cu
     'Ng always faces the observer')."""

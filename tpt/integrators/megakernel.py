@@ -130,8 +130,24 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
             state, _ = rng.rand_float(state)
             state, _ = rng.rand_float(state)
 
+        if scene.env.enabled and cfg.env_nee:
+            from .common import compute_env_nee
+
+            state, env_contrib = compute_env_nee(
+                scene, cfg, raycaster, state, point, n_sh, ng, wo,
+                mats, throughput, alive)
+            radiance = radiance + env_contrib
+
         # ---- BSDF sample + path update -------------------------------------------
         state, smp = bsdf.sample_bsdf(wo, n_sh, mats, state)
+        if cfg.heavy_shading_iters:
+            from .common import heavy_shading_factor
+
+            smp = bsdf.BSDFSample(
+                wi=smp.wi, pdf=smp.pdf,
+                attenuation=smp.attenuation
+                * heavy_shading_factor(hit.u, cfg.heavy_shading_iters),
+                is_transmission=smp.is_transmission)
         valid = (smp.pdf > 0.0) & (smp.attenuation.length_sq() > 0.0)
         # hemisphere check vs geometric normal (transmission is two-sided)
         exiting = smp.wi.dot(ng) > 0.0
@@ -143,6 +159,11 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
         direction = vwhere(alive & valid, smp.wi, direction)
         last_pdf = jnp.where(alive & valid, smp.pdf, last_pdf)
         alive = alive & valid
+
+        from .common import apply_russian_roulette
+
+        throughput, alive, state = apply_russian_roulette(
+            cfg, depth, throughput, alive, state)
 
         return ori, direction, throughput, last_pdf, state, alive, radiance
 

@@ -53,7 +53,23 @@ def read_hdr(path: str) -> np.ndarray:
     # expect: -Y H +X W
     h = int(res_line[1])
     w = int(res_line[3])
-    raw = np.frombuffer(data[res_end + 1:], np.uint8)
+    payload = data[res_end + 1:]
+
+    # native RLE decoder when available (scene/native.py)
+    try:
+        from .native import decode_hdr_rle_native
+
+        native = decode_hdr_rle_native(payload, w, h)
+    except Exception:
+        native = None
+    if native is not None:
+        rgbe = native
+        exp = rgbe[..., 3].astype(np.int32)
+        scale = np.where(exp == 0, 0.0, np.ldexp(1.0, exp - 136))
+        return (rgbe[..., :3].astype(np.float32) * scale[..., None]
+                ).astype(np.float32)
+
+    raw = np.frombuffer(payload, np.uint8)
 
     rgbe = np.zeros((h, w, 4), np.uint8)
     off = 0

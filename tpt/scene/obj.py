@@ -126,9 +126,21 @@ def _resolve_index(idx: int, count: int) -> int:
 
 def load_obj(path: str, scene: HostScene, trs: Optional[np.ndarray] = None,
              material_override: Optional[int] = None,
-             load_textures: bool = True) -> HostMesh:
+             load_textures: bool = True, use_native: bool = True) -> HostMesh:
     """Parse an OBJ file into a HostMesh, registering materials/textures on
-    `scene`. Returns the mesh (caller merges)."""
+    `scene`. Returns the mesh (caller merges).
+
+    Uses the C++ parser (native/tpt_native.cpp via scene/native.py) when
+    available — same dedup/triangulation semantics, ~20x faster line
+    parsing — with this pure-Python implementation as the fallback."""
+    if use_native:
+        from . import native as native_mod
+
+        if native_mod.available():
+            parsed = native_mod.parse_obj_native(path)
+            if parsed is not None:
+                return _finish_native(parsed, path, scene, trs,
+                                      material_override, load_textures)
     positions: List[Tuple[float, float, float]] = []
     normals: List[Tuple[float, float, float]] = []
     uvs: List[Tuple[float, float]] = []
@@ -242,6 +254,63 @@ def load_obj(path: str, scene: HostScene, trs: Optional[np.ndarray] = None,
         positions=p2, normals=n2, uvs=uv2, tangents=tangents,
         indices=idx2, material_ids=mat_ids,
     )
+
+
+def _register_mtl_files(mtl_files, obj_dir: str, scene: HostScene,
+                        load_textures: bool) -> dict:
+    """Parse MTL files, convert to PBR, register on the scene; returns
+    {material name -> scene material id}."""
+    lookup = {}
+    for fname in mtl_files:
+        mtl_path = os.path.join(obj_dir, fname)
+        if not os.path.exists(mtl_path):
+            continue
+        for name, mtl in parse_mtl(mtl_path).items():
+            hm = mtl_to_pbr(mtl)
+            if load_textures:
+                for attr, field_name in ((mtl.map_kd, "tex_diffuse"),
+                                         (mtl.map_bump, "tex_normal"),
+                                         (mtl.map_pr, "tex_metallic_roughness")):
+                    if attr:
+                        tid = load_texture_into_atlas(
+                            scene.atlas, os.path.join(obj_dir, attr))
+                        if tid >= 0:
+                            setattr(hm, field_name, tid)
+                            if field_name == "tex_diffuse":
+                                hm.mtype = MaterialType.MICROFACET_PBR
+            lookup[name] = scene.add_material(hm)
+    return lookup
+
+
+def _finish_native(parsed, path: str, scene: HostScene, trs,
+                   material_override, load_textures) -> HostMesh:
+    """Shared post-processing for the native parser's output."""
+    pos, nrm, uv, idx, mat_local, names, mtl_files = parsed
+    if idx.shape[0] == 0:
+        return HostMesh.empty()
+    obj_dir = os.path.dirname(os.path.abspath(path))
+    lookup = _register_mtl_files(mtl_files, obj_dir, scene, load_textures)
+
+    if material_override is not None:
+        mat_ids = np.full((idx.shape[0],), material_override, np.int32)
+    else:
+        remap = np.array(
+            [lookup.get(n, 0) for n in names] or [0], np.int32)
+        mat_ids = np.where(mat_local >= 0,
+                           remap[np.clip(mat_local, 0, len(remap) - 1)],
+                           0).astype(np.int32)
+
+    # fill missing normals (zero vectors) with smooth normals
+    missing = ~np.any(nrm != 0.0, axis=-1)
+    if missing.any():
+        smooth = compute_smooth_normals(pos, idx)
+        nrm = np.where(missing[:, None], smooth, nrm)
+
+    if trs is not None:
+        pos, nrm = apply_transform(pos, nrm, trs)
+    tangents = compute_tangents(pos, nrm, uv, idx)
+    return HostMesh(positions=pos, normals=nrm, uvs=uv, tangents=tangents,
+                    indices=idx, material_ids=mat_ids)
 
 
 def load_texture_into_atlas(atlas: AtlasBuilder, path: str) -> int:
