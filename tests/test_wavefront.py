@@ -78,3 +78,55 @@ class TestWavefront:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+class TestRaySorting:
+    def test_sorted_traversal_matches_unsorted(self):
+        """Coherence sorting must not change results, only packet order."""
+        from tpt.integrators import raysort
+        from tpt.integrators.common import make_raycaster
+
+        scene = procedural.cornell_box(resolution=(32, 32), spheres=True)
+        data = scene.build(with_bvh=True)
+        cfg = RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=2)
+        rc = make_raycaster(data, cfg)
+
+        rs = np.random.default_rng(0)
+        n = 2048
+        from tpt.core.vec import Vec3
+
+        ori = Vec3.from_stacked(jnp.asarray(
+            rs.uniform(0, 550, (n, 3)).astype(np.float32)))
+        dd = rs.normal(size=(n, 3)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+        d = Vec3.from_stacked(jnp.asarray(dd))
+        tmax = jnp.full((n,), 3.4e38)
+
+        lo, inv = raysort.world_bounds(data.mesh)
+        sorted_hit = raysort.sorted_closest_hit(rc, ori, d, tmax, lo, inv)
+        plain_hit = rc.closest_hit(ori, d, tmax)
+        np.testing.assert_array_equal(np.asarray(sorted_hit.tri),
+                                      np.asarray(plain_hit.tri))
+        np.testing.assert_allclose(np.asarray(sorted_hit.t),
+                                   np.asarray(plain_hit.t), rtol=1e-6)
+
+        occ_s = raysort.sorted_any_hit(rc, ori, d, jnp.full((n,), 300.0),
+                                       lo, inv)
+        occ_p = rc.any_hit(ori, d, jnp.full((n,), 300.0))
+        np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_p))
+
+    def test_wavefront_pallas_sorted_render(self):
+        """Full wavefront frame through the Pallas backend (interpret mode)
+        with sorting on matches the XLA backend."""
+        scene = procedural.cornell_box(resolution=(16, 16), spheres=False)
+        data = scene.build(with_bvh=True)
+        img_p = wavefront.render(
+            data, scene.camera,
+            RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=2),
+            iterations=1)
+        img_x = wavefront.render(
+            data, scene.camera,
+            RenderConfig(backend=RayCastBackend.BVH_XLA, trace_depth=2),
+            iterations=1)
+        close = np.isclose(img_p, img_x, atol=5e-3).mean()
+        assert close > 0.99, close

@@ -50,7 +50,9 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
     def bounce(depth, carry):
         ori, direction, throughput, last_pdf, state, alive, radiance = carry
 
-        hit = raycaster.closest_hit(ori, direction)
+        # dead lanes get t_max=0 so fully-dead packets exit immediately
+        hit = raycaster.closest_hit(ori, direction,
+                                    jnp.where(alive, 3.4e38, 0.0))
         hit_mask = alive & hit.hit_mask
         first = depth == 0
 

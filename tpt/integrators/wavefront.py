@@ -90,31 +90,35 @@ class FrameOutput:
     rays_traced: jnp.ndarray  # scalar int32 (extension+shadow), for MRays/s
 
 
-def trace_frame(scene: SceneData, raycaster: Raycaster, cam: Camera,
-                cfg: RenderConfig, iteration: jnp.ndarray,
-                view_proj: jnp.ndarray, prev_view_proj: jnp.ndarray
-                ) -> FrameOutput:
-    """One 1-spp wavefront frame over the full fixed path pool."""
+def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
+                 cfg: RenderConfig, view_proj, prev_view_proj, depth, carry):
+    """One wavefront bounce over the full path pool (shared by the fused
+    fori_loop frame and the split per-dispatch execution)."""
     n = cam.num_pixels
     w, h = cam.resolution
-    ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
-
-    direct = Vec3.zeros((n,))
-    indirect = Vec3.zeros((n,))
-    throughput = Vec3.ones((n,))
-    last_pdf = jnp.zeros((n,))
-    alive = jnp.ones((n,), bool)
-    gbuf = GBuffers.zeros(n)
-    rays = jnp.zeros((), jnp.int32)
     has_lights = scene.lights.num_lights > 0
 
-    def bounce(depth, carry):
+    from ..config import RayCastBackend
+
+    do_sort = cfg.sort_bounce_rays and cfg.backend == RayCastBackend.BVH_PALLAS
+    if do_sort:
+        from . import raysort
+
+        world_lo, world_inv = raysort.world_bounds(scene.mesh)
+
+    if True:  # keep original indentation of the bounce body
         (ori, direction, throughput, last_pdf, state, alive,
          direct, indirect, gbuf, rays) = carry
         first = depth == 0
 
         # ---- TraceExtensionRay stage -------------------------------------
-        hit = raycaster.closest_hit(ori, direction)
+        # dead lanes get t_max=0 so their packets fail the root test
+        ext_tmax = jnp.where(alive, 3.4e38, 0.0)
+        if do_sort:
+            hit = raysort.sorted_closest_hit(
+                raycaster, ori, direction, ext_tmax, world_lo, world_inv)
+        else:
+            hit = raycaster.closest_hit(ori, direction, ext_tmax)
         rays = rays + jnp.sum(alive.astype(jnp.int32))
 
         # ---- Logic stage ----------------------------------------------------
@@ -200,7 +204,11 @@ def trace_frame(scene: SceneData, raycaster: Raycaster, cam: Camera,
             # ---- TraceShadowRay stage --------------------------------------
             shadow_ori = point + ng * EPSILON
             shadow_t = jnp.where(nee_mask, dist, 0.0)  # dead shadow lanes
-            occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
+            if do_sort:
+                occluded = raysort.sorted_any_hit(
+                    raycaster, shadow_ori, wi_l, shadow_t, world_lo, world_inv)
+            else:
+                occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
             rays = rays + jnp.sum(nee_mask.astype(jnp.int32))
             direct = direct + vwhere(nee_mask & ~occluded, contrib,
                                      Vec3.zeros((n,)))
@@ -249,9 +257,24 @@ def trace_frame(scene: SceneData, raycaster: Raycaster, cam: Camera,
         return (ori, direction, throughput, last_pdf, state, alive,
                 direct, indirect, gbuf, rays)
 
-    carry = (ori, direction, throughput, last_pdf, state, alive,
-             direct, indirect, gbuf, rays)
-    carry = jax.lax.fori_loop(0, cfg.trace_depth, bounce, carry)
+
+def trace_frame(scene: SceneData, raycaster: Raycaster, cam: Camera,
+                cfg: RenderConfig, iteration: jnp.ndarray,
+                view_proj: jnp.ndarray, prev_view_proj: jnp.ndarray
+                ) -> FrameOutput:
+    """One 1-spp wavefront frame over the full fixed path pool (fused:
+    the whole frame is one traced program)."""
+    n = cam.num_pixels
+    ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
+
+    carry = (ori, direction, Vec3.ones((n,)), jnp.zeros((n,)), state,
+             jnp.ones((n,), bool), Vec3.zeros((n,)), Vec3.zeros((n,)),
+             GBuffers.zeros(n), jnp.zeros((), jnp.int32))
+    carry = jax.lax.fori_loop(
+        0, cfg.trace_depth,
+        lambda depth, c: _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                                      prev_view_proj, depth, c),
+        carry)
     direct, indirect, gbuf, rays = carry[6], carry[7], carry[8], carry[9]
 
     nan_guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
@@ -265,18 +288,71 @@ def camera_view_proj(cam: Camera) -> jnp.ndarray:
         cam.position, cam.look_at, cam.up, cam.fovy_deg, w / h))
 
 
-def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig):
-    """Jitted fn(iteration, prev_vp, accum_direct, accum_indirect)
-    -> (FrameOutput, new accumulators)."""
+def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
+                  split_bounces: Optional[bool] = None):
+    """Returns (frame fn, view_proj). frame(iteration, prev_vp, acc_d, acc_i)
+    -> (FrameOutput, acc_d', acc_i').
+
+    `split_bounces=True` dispatches one jit call per bounce instead of one
+    per frame: on this TPU runtime a deep-bounce frame over a large scene
+    can exceed the device program watchdog as a single program (incoherent
+    packets traverse long); per-bounce dispatch costs ~4 ms each and keeps
+    every program short. Defaults to True for the Pallas backend."""
+    from ..config import RayCastBackend
+
     raycaster = make_raycaster(scene, cfg)
     vp = camera_view_proj(cam)
+    if split_bounces is None:
+        split_bounces = cfg.backend == RayCastBackend.BVH_PALLAS
+
+    if not split_bounces:
+        @jax.jit
+        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
+            out = trace_frame(scene, raycaster, cam, cfg, iteration, vp,
+                              prev_vp)
+            return out, acc_direct + out.direct, acc_indirect + out.indirect
+
+        return frame, vp
+
+    # --- split execution: raygen once, then one jitted bounce per call ----
+    n = cam.num_pixels
 
     @jax.jit
-    def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
-        out = trace_frame(scene, raycaster, cam, cfg, iteration, vp, prev_vp)
+    def start(iteration):
+        ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
+        return (ori, direction, Vec3.ones((n,)), jnp.zeros((n,)), state,
+                jnp.ones((n,), bool), Vec3.zeros((n,)), Vec3.zeros((n,)),
+                GBuffers.zeros(n), jnp.zeros((), jnp.int32))
+
+    bounce_fn = _make_bounce_fn(scene, raycaster, cam, cfg, vp)
+
+    @jax.jit
+    def finish(carry, acc_direct, acc_indirect):
+        direct, indirect, gbuf, rays = carry[6], carry[7], carry[8], carry[9]
+        guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
+        out = FrameOutput(direct=guard(direct), indirect=guard(indirect),
+                          gbuf=gbuf, rays_traced=rays)
         return out, acc_direct + out.direct, acc_indirect + out.indirect
 
+    def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
+        carry = start(iteration)
+        for depth in range(cfg.trace_depth):
+            carry = bounce_fn(jnp.int32(depth), prev_vp, carry)
+        return finish(carry, acc_direct, acc_indirect)
+
     return frame, vp
+
+
+def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
+                    cfg: RenderConfig, view_proj):
+    """One jitted wavefront bounce over the full path pool (split mode)."""
+
+    @jax.jit
+    def one_bounce(depth, prev_view_proj, carry):
+        return _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                            prev_view_proj, depth, carry)
+
+    return one_bounce
 
 
 def render(scene: SceneData, cam: Camera, cfg: RenderConfig,
