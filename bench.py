@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Headline benchmark: wavefront throughput in Mpaths/s at 1080p on a
 143k-triangle interior (stand-in for the reference's Fireplace Room, which
-is not shipped in-repo — same triangle count, mixed materials in the same
-class proportions, one area light; see tpt/scene/procedural.py).
+is not shipped in-repo — same triangle count, surface-concentrated
+geometry, the same material-class mix, one area light; see
+tpt/scene/procedural.py:fireplace_like).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 31.72 Mpaths/s — the reference wavefront on an RTX 3060 Laptop
@@ -38,7 +39,7 @@ def main() -> int:
         res, tris, depth = (1920, 1080), 143_000, 8
 
     t0 = time.time()
-    host = procedural.stress_interior(num_triangles=tris, resolution=res)
+    host = procedural.fireplace_like(num_triangles=tris, resolution=res)
     backend = RayCastBackend.BVH_PALLAS if on_tpu else RayCastBackend.BVH_XLA
     data = host.build(with_bvh=True)
     jax.block_until_ready(data.pack.tri_f32)

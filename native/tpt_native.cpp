@@ -7,6 +7,7 @@
 // C ABI consumed from Python via ctypes (tpt/scene/native.py). Two-phase
 // protocol: parse -> query sizes -> copy out -> free.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -245,5 +246,227 @@ int32_t tpt_decode_hdr_rle(const uint8_t* data, int64_t size, int32_t width,
   }
   return 0;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Binned-SAH BVH builder (tree-quality upgrade over LBVH: ~1.5-2.5x fewer
+// node visits per ray). Emits the same array layout as bvh/build.py:
+// internal nodes [0, T-2], single-triangle leaves [T-1, 2T-2].
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BuildPrim {
+  float bmin[3], bmax[3], centroid[3];
+  int32_t id;
+};
+
+struct SahResult {
+  std::vector<int32_t> left, right, parent;
+  std::vector<float> aabb_min, aabb_max;  // 3 floats per node
+  std::vector<int32_t> prim_index;        // -1 for internal, tri id for leaf
+};
+
+struct BuildTask {
+  int64_t begin, end;  // range in prim array
+  int32_t node;        // node id to fill
+  int32_t parent;
+};
+
+void surrounding(const std::vector<BuildPrim>& prims, int64_t b, int64_t e,
+                 float* mn, float* mx, float* cmn, float* cmx) {
+  for (int k = 0; k < 3; ++k) {
+    mn[k] = 3e38f; mx[k] = -3e38f; cmn[k] = 3e38f; cmx[k] = -3e38f;
+  }
+  for (int64_t i = b; i < e; ++i) {
+    for (int k = 0; k < 3; ++k) {
+      mn[k] = std::min(mn[k], prims[i].bmin[k]);
+      mx[k] = std::max(mx[k], prims[i].bmax[k]);
+      cmn[k] = std::min(cmn[k], prims[i].centroid[k]);
+      cmx[k] = std::max(cmx[k], prims[i].centroid[k]);
+    }
+  }
+}
+
+inline float half_area(const float* mn, const float* mx) {
+  float dx = std::max(0.0f, mx[0] - mn[0]);
+  float dy = std::max(0.0f, mx[1] - mn[1]);
+  float dz = std::max(0.0f, mx[2] - mn[2]);
+  return dx * dy + dy * dz + dz * dx;
+}
+
+}  // namespace
+
+extern "C" {
+
+// v012: interleaved triangle corners [T][9] = v0.xyz v1.xyz v2.xyz
+void* tpt_build_sah(const float* v012, int64_t t) {
+  auto* out = new SahResult();
+  if (t < 2) { return out; }
+  std::vector<BuildPrim> prims(t);
+  for (int64_t i = 0; i < t; ++i) {
+    const float* p = v012 + i * 9;
+    BuildPrim& bp = prims[i];
+    for (int k = 0; k < 3; ++k) {
+      bp.bmin[k] = std::min({p[k], p[3 + k], p[6 + k]});
+      bp.bmax[k] = std::max({p[k], p[3 + k], p[6 + k]});
+      bp.centroid[k] = 0.5f * (bp.bmin[k] + bp.bmax[k]);
+    }
+    bp.id = static_cast<int32_t>(i);
+  }
+
+  const int64_t total = 2 * t - 1;
+  const int64_t leaf_base = t - 1;
+  out->left.assign(total, -1);
+  out->right.assign(total, -1);
+  out->parent.assign(total, -1);
+  out->prim_index.assign(total, -1);
+  out->aabb_min.assign(total * 3, 0.0f);
+  out->aabb_max.assign(total * 3, 0.0f);
+
+  int32_t next_internal = 0;
+  int32_t next_leaf = 0;
+  std::vector<BuildTask> stack;
+  stack.push_back({0, t, 0, -1});
+  next_internal = 1;
+
+  constexpr int kBins = 16;
+
+  while (!stack.empty()) {
+    BuildTask task = stack.back();
+    stack.pop_back();
+    int64_t b = task.begin, e = task.end;
+    int64_t count = e - b;
+
+    float mn[3], mx[3], cmn[3], cmx[3];
+    surrounding(prims, b, e, mn, mx, cmn, cmx);
+    for (int k = 0; k < 3; ++k) {
+      out->aabb_min[task.node * 3 + k] = mn[k];
+      out->aabb_max[task.node * 3 + k] = mx[k];
+    }
+    out->parent[task.node] = task.parent;
+
+    if (count == 1) {
+      out->prim_index[task.node] = prims[b].id;
+      continue;
+    }
+
+    // choose split axis = widest centroid extent
+    int axis = 0;
+    float ext[3] = {cmx[0] - cmn[0], cmx[1] - cmn[1], cmx[2] - cmn[2]};
+    if (ext[1] > ext[axis]) axis = 1;
+    if (ext[2] > ext[axis]) axis = 2;
+
+    int64_t mid = -1;
+    if (ext[axis] > 1e-12f && count > 4) {
+      // binned SAH
+      float bin_min[kBins][3], bin_max[kBins][3];
+      int64_t bin_cnt[kBins] = {0};
+      for (int bb = 0; bb < kBins; ++bb)
+        for (int k = 0; k < 3; ++k) {
+          bin_min[bb][k] = 3e38f;
+          bin_max[bb][k] = -3e38f;
+        }
+      float scale = kBins / ext[axis];
+      auto bin_of = [&](const BuildPrim& p) {
+        int bb = static_cast<int>((p.centroid[axis] - cmn[axis]) * scale);
+        return std::min(bb, kBins - 1);
+      };
+      for (int64_t i = b; i < e; ++i) {
+        int bb = bin_of(prims[i]);
+        ++bin_cnt[bb];
+        for (int k = 0; k < 3; ++k) {
+          bin_min[bb][k] = std::min(bin_min[bb][k], prims[i].bmin[k]);
+          bin_max[bb][k] = std::max(bin_max[bb][k], prims[i].bmax[k]);
+        }
+      }
+      // sweep: best split between bins
+      float lmin[kBins][3], lmax[kBins][3];
+      int64_t lcnt[kBins];
+      float cur_mn[3] = {3e38f, 3e38f, 3e38f},
+            cur_mx[3] = {-3e38f, -3e38f, -3e38f};
+      int64_t cur_c = 0;
+      for (int bb = 0; bb < kBins; ++bb) {
+        for (int k = 0; k < 3; ++k) {
+          cur_mn[k] = std::min(cur_mn[k], bin_min[bb][k]);
+          cur_mx[k] = std::max(cur_mx[k], bin_max[bb][k]);
+          lmin[bb][k] = cur_mn[k];
+          lmax[bb][k] = cur_mx[k];
+        }
+        cur_c += bin_cnt[bb];
+        lcnt[bb] = cur_c;
+      }
+      float best_cost = 3e38f;
+      int best_split = -1;
+      float rmn[3] = {3e38f, 3e38f, 3e38f}, rmx[3] = {-3e38f, -3e38f, -3e38f};
+      int64_t rc = 0;
+      for (int bb = kBins - 1; bb >= 1; --bb) {
+        for (int k = 0; k < 3; ++k) {
+          rmn[k] = std::min(rmn[k], bin_min[bb][k]);
+          rmx[k] = std::max(rmx[k], bin_max[bb][k]);
+        }
+        rc += bin_cnt[bb];
+        int64_t lc = lcnt[bb - 1];
+        if (lc == 0 || rc == 0) continue;
+        float cost = half_area(lmin[bb - 1], lmax[bb - 1]) * lc +
+                     half_area(rmn, rmx) * rc;
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_split = bb;
+        }
+      }
+      if (best_split > 0) {
+        auto it = std::partition(
+            prims.begin() + b, prims.begin() + e,
+            [&](const BuildPrim& p) { return bin_of(p) < best_split; });
+        mid = it - prims.begin();
+        if (mid == b || mid == e) mid = -1;
+      }
+    }
+    if (mid < 0) {
+      // median split on the widest axis
+      mid = b + count / 2;
+      std::nth_element(prims.begin() + b, prims.begin() + mid,
+                       prims.begin() + e,
+                       [&](const BuildPrim& a, const BuildPrim& c) {
+                         return a.centroid[axis] < c.centroid[axis];
+                       });
+    }
+
+    auto alloc = [&](int64_t cb, int64_t ce) -> int32_t {
+      if (ce - cb == 1) {
+        return static_cast<int32_t>(leaf_base + next_leaf++);
+      }
+      return next_internal++;
+    };
+    int32_t lnode = alloc(b, mid);
+    int32_t rnode = alloc(mid, e);
+    out->left[task.node] = lnode;
+    out->right[task.node] = rnode;
+    // push right first so left is processed next (preorder-ish ids)
+    stack.push_back({mid, e, rnode, task.node});
+    stack.push_back({b, mid, lnode, task.node});
+  }
+  return out;
+}
+
+void tpt_sah_counts(void* h, int64_t* total_nodes) {
+  auto* r = static_cast<SahResult*>(h);
+  *total_nodes = static_cast<int64_t>(r->left.size());
+}
+
+void tpt_sah_copy(void* h, int32_t* left, int32_t* right, int32_t* parent,
+                  int32_t* prim_index, float* aabb_min, float* aabb_max) {
+  auto* r = static_cast<SahResult*>(h);
+  memcpy(left, r->left.data(), r->left.size() * 4);
+  memcpy(right, r->right.data(), r->right.size() * 4);
+  memcpy(parent, r->parent.data(), r->parent.size() * 4);
+  memcpy(prim_index, r->prim_index.data(), r->prim_index.size() * 4);
+  memcpy(aabb_min, r->aabb_min.data(), r->aabb_min.size() * 4);
+  memcpy(aabb_max, r->aabb_max.data(), r->aabb_max.size() * 4);
+}
+
+void tpt_free_sah(void* h) { delete static_cast<SahResult*>(h); }
 
 }  // extern "C"

@@ -148,3 +148,37 @@ class TestRenderParity:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+class TestSAH:
+    def test_sah_topology_and_parity(self, cluttered_mesh):
+        from tpt.bvh.sah import build_sah_bvh
+        from tpt.scene.native import available
+
+        if not available():
+            pytest.skip("native library unavailable")
+        bvh = build_sah_bvh(cluttered_mesh)
+        rep = validate_lbvh(bvh)
+        assert rep.ok, rep.errors
+        ori, d = random_ray_batch(512, -6, 6, seed=9)
+        got = bvh_closest_hit(cluttered_mesh, bvh, ori, d)
+        want = brute_force_closest_hit(cluttered_mesh, ori, d)
+        np.testing.assert_array_equal(np.asarray(got.tri >= 0),
+                                      np.asarray(want.tri >= 0))
+        m = np.asarray(want.tri >= 0)
+        np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(want.t)[m],
+                                   rtol=1e-4)
+
+    def test_sah_beats_lbvh_on_visits(self, cluttered_mesh):
+        from tpt.bvh.sah import build_sah_bvh
+        from tpt.bvh.traverse import traversal_cost
+        from tpt.scene.native import available
+
+        if not available():
+            pytest.skip("native library unavailable")
+        sah = build_sah_bvh(cluttered_mesh)
+        lb = build_lbvh(cluttered_mesh)
+        ori, d = random_ray_batch(1024, -6, 6, seed=10)
+        c_sah = float(np.asarray(traversal_cost(cluttered_mesh, sah, ori, d)).mean())
+        c_lb = float(np.asarray(traversal_cost(cluttered_mesh, lb, ori, d)).mean())
+        assert c_sah <= c_lb * 1.05  # SAH never materially worse

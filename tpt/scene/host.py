@@ -57,8 +57,13 @@ class HostScene:
     def emittances(self) -> np.ndarray:
         return np.array([m.emittance for m in self.materials] or [0.0], np.float32)
 
-    def build(self, with_bvh: bool = False) -> SceneData:
-        """Upload everything to device pytrees; optionally build the LBVH."""
+    def build(self, with_bvh: bool = False, bvh_builder: str = "auto",
+              max_cluster: int = 32) -> SceneData:
+        """Upload everything to device pytrees; optionally build the BVH.
+
+        bvh_builder: "sah" (native C++ binned SAH — better traversal),
+        "lbvh" (on-device morton/Karras build), or "auto" (SAH when the
+        native library is available)."""
         mats = self.materials or [HostMaterial()]
         table = MaterialTable(
             basecolor=Vec3.from_stacked(
@@ -82,10 +87,21 @@ class HostScene:
         bvh = None
         pack = None
         if with_bvh:
-            from ..bvh.build import build_lbvh
             from ..bvh.pack import build_packet_bvh
 
-            bvh = build_lbvh(mesh)
-            pack = build_packet_bvh(mesh, bvh)
+            builder = bvh_builder
+            if builder == "auto":
+                from . import native as native_mod
+
+                builder = "sah" if native_mod.available() else "lbvh"
+            if builder == "sah":
+                from ..bvh.sah import build_sah_bvh
+
+                bvh = build_sah_bvh(mesh)
+            else:
+                from ..bvh.build import build_lbvh
+
+                bvh = build_lbvh(mesh)
+            pack = build_packet_bvh(mesh, bvh, max_cluster=max_cluster)
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
                          env=env, bvh=bvh, pack=pack)

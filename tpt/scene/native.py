@@ -59,8 +59,47 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")]
+    lib.tpt_build_sah.restype = ctypes.c_void_p
+    lib.tpt_build_sah.argtypes = [
+        np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64]
+    lib.tpt_sah_counts.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int64)]
+    lib.tpt_sah_copy.argtypes = [ctypes.c_void_p] + [
+        np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")] * 4 + [
+        np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")] * 2
+    lib.tpt_free_sah.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def build_sah_native(v012: np.ndarray):
+    """Binned-SAH BVH build. v012: [T, 9] float32 triangle corners.
+    Returns (left, right, parent, prim_index, aabb_min [N,3], aabb_max)
+    in the standard layout (internal [0, T-2], leaves [T-1, 2T-2]),
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = v012.shape[0]
+    h = lib.tpt_build_sah(np.ascontiguousarray(v012, np.float32), t)
+    try:
+        total = ctypes.c_int64()
+        lib.tpt_sah_counts(h, ctypes.byref(total))
+        n = total.value
+        if n == 0:
+            return None
+        left = np.empty(n, np.int32)
+        right = np.empty(n, np.int32)
+        parent = np.empty(n, np.int32)
+        prim = np.empty(n, np.int32)
+        amin = np.empty((n, 3), np.float32)
+        amax = np.empty((n, 3), np.float32)
+        lib.tpt_sah_copy(h, left, right, parent, prim, amin.reshape(-1),
+                         amax.reshape(-1))
+        return left, right, parent, prim, amin, amax
+    finally:
+        lib.tpt_free_sah(h)
 
 
 def available() -> bool:
