@@ -96,7 +96,7 @@ def _mt_scalar_tri(block, j, ox, oy, oz, dx, dy, dz):
 
 
 def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
-                 any_hit: bool, tri_rows: int = 1 << 30):
+                 any_hit: bool, tri_rows: int = 1 << 30, arity: int = 2):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, child_ref, tri_ref,
                *out_refs):
@@ -129,36 +129,36 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
         def node_case(code, sp, bt, btri, bu, bv):
             nid = jnp.clip(code, 0, num_nodes - 1)
             row = nodes_ref[pl.ds(nid, 1), :]
-            lhit, ltn = _slab(row, 0, ox, oy, oz, ix, iy, iz, bt)
-            rhit, rtn = _slab(row, 6, ox, oy, oz, ix, iy, iz, bt)
-            min_l = jnp.min(jnp.where(lhit, ltn, _INF))
-            min_r = jnp.min(jnp.where(rhit, rtn, _INF))
-            any_l = min_l < _INF
-            any_r = min_r < _INF
             crow = child_ref[pl.ds(nid, 1), :]
-            cl = crow[0, 0]
-            cr = crow[0, 1]
-            l_first = min_l <= min_r
-            near = jnp.where(l_first, cl, cr)
-            far = jnp.where(l_first, cr, cl)
-            near_ok = jnp.where(l_first, any_l, any_r)
-            far_ok = jnp.where(l_first, any_r, any_l)
+            mins = []
+            codes = []
+            for s in range(arity):
+                hit_s, tn_s = _slab(row, 6 * s, ox, oy, oz, ix, iy, iz, bt)
+                mins.append(jnp.min(jnp.where(hit_s, tn_s, _INF)))
+                codes.append(crow[0, s])
 
-            push_far = far_ok & (sp < stack_depth)
+            if arity == 2:
+                order = [(0, 1)]  # single compare
+            else:
+                # 4-element sorting network (ascending by t_near)
+                order = [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)]
+            for a, b in order:
+                swap = mins[a] > mins[b]
+                mins[a], mins[b] = (jnp.where(swap, mins[b], mins[a]),
+                                    jnp.where(swap, mins[a], mins[b]))
+                codes[a], codes[b] = (jnp.where(swap, codes[b], codes[a]),
+                                      jnp.where(swap, codes[a], codes[b]))
 
-            @pl.when(push_far)
-            def _():
-                stack_ref[sp] = far
+            # push far-to-near so the nearest is popped first
+            for s in range(arity - 1, -1, -1):
+                ok = (mins[s] < _INF) & (sp < stack_depth)
 
-            sp1 = sp + push_far.astype(jnp.int32)
-            push_near = near_ok & (sp1 < stack_depth)
+                @pl.when(ok)
+                def _(s=s, sp=sp):
+                    stack_ref[sp] = codes[s]
 
-            @pl.when(push_near)
-            def _():
-                stack_ref[sp1] = near
-
-            sp2 = sp1 + push_near.astype(jnp.int32)
-            return sp2, bt, btri, bu, bv
+                sp = sp + ok.astype(jnp.int32)
+            return sp, bt, btri, bu, bv
 
         def cluster_case(code, sp, bt, btri, bu, bv):
             val = -(code + 1)
@@ -194,27 +194,19 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
                     nid = jnp.clip(code, 0, num_nodes - 1)
                     row = nodes_ref[pl.ds(nid, 1), :]
                     live_limit = jnp.where(occ > 0, 0.0, limit)
-                    lhit, _ = _slab(row, 0, ox, oy, oz, ix, iy, iz, live_limit)
-                    rhit, _ = _slab(row, 6, ox, oy, oz, ix, iy, iz, live_limit)
-                    any_l = jnp.any(lhit)
-                    any_r = jnp.any(rhit)
                     crow = child_ref[pl.ds(nid, 1), :]
-                    cl = crow[0, 0]
-                    cr = crow[0, 1]
-                    push_l = any_l & (sp < stack_depth)
+                    for s in range(arity):
+                        hit_s, _ = _slab(row, 6 * s, ox, oy, oz, ix, iy, iz,
+                                         live_limit)
+                        ok = jnp.any(hit_s) & (sp < stack_depth)
+                        cs = crow[0, s]
 
-                    @pl.when(push_l)
-                    def _():
-                        stack_ref[sp] = cl
+                        @pl.when(ok)
+                        def _(cs=cs, sp=sp):
+                            stack_ref[sp] = cs
 
-                    sp1 = sp + push_l.astype(jnp.int32)
-                    push_r = any_r & (sp1 < stack_depth)
-
-                    @pl.when(push_r)
-                    def _():
-                        stack_ref[sp1] = cr
-
-                    return sp1 + push_r.astype(jnp.int32), occ
+                        sp = sp + ok.astype(jnp.int32)
+                    return sp, occ
 
                 def cc(args):
                     sp, occ = args
@@ -289,7 +281,8 @@ def packet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max)
 
     kernel = _make_kernel(pack.num_nodes, pack.max_cluster, stack_depth,
-                          any_hit=False, tri_rows=pack.tri_f32.shape[0])
+                          any_hit=False, tri_rows=pack.tri_f32.shape[0],
+                          arity=pack.arity)
     ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -329,7 +322,8 @@ def packet_any_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
                    t_max: jnp.ndarray, stack_depth: int = 64) -> jnp.ndarray:
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max)
     kernel = _make_kernel(pack.num_nodes, pack.max_cluster, stack_depth,
-                          any_hit=True, tri_rows=pack.tri_f32.shape[0])
+                          any_hit=True, tri_rows=pack.tri_f32.shape[0],
+                          arity=pack.arity)
     ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
