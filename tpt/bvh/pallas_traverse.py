@@ -96,37 +96,48 @@ def _mt_scalar_tri(block, j, ox, oy, oz, dx, dy, dz):
 
 
 def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
-                 any_hit: bool, tri_rows: int = 1 << 30, arity: int = 2):
+                 any_hit: bool, tri_rows: int = 1 << 30, arity: int = 2,
+                 interleave: int = 2):
+    """Traversal kernel over P = `interleave` independent packets per grid
+    program. A single packet's step is a serial latency chain (node fetch
+    -> slab math -> min-reduce -> next-node select, ~390 ns measured);
+    interleaving packets gives the scheduler independent work to overlap
+    into those latencies. A finished packet pops the idle code -1, which
+    decodes as a zero-count cluster — a natural no-op."""
+    P = interleave
+
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, child_ref, tri_ref,
                *out_refs):
         stack_ref = out_refs[-1]
         outs = out_refs[:-1]
-        ox = ox_ref[0]
-        oy = oy_ref[0]
-        oz = oz_ref[0]
-        dx = dx_ref[0]
-        dy = dy_ref[0]
-        dz = dz_ref[0]
-        ix = _safe_inv(dx)
-        iy = _safe_inv(dy)
-        iz = _safe_inv(dz)
-        tmax = tmax_ref[0]
+        rays = []
+        for p in range(P):
+            ox = ox_ref[p]
+            oy = oy_ref[p]
+            oz = oz_ref[p]
+            dx = dx_ref[p]
+            dy = dy_ref[p]
+            dz = dz_ref[p]
+            rays.append((ox, oy, oz, dx, dy, dz,
+                         _safe_inv(dx), _safe_inv(dy), _safe_inv(dz),
+                         tmax_ref[p]))
+            stack_ref[p * stack_depth] = jnp.int32(0)
 
-        if any_hit:
-            limit = tmax - 1e-3  # reference shadow-segment shrink
-            # int32 mask: Mosaic cannot yield i1 vectors through scf control flow
-            occluded0 = (limit <= 0.0).astype(jnp.int32)  # dead lanes resolved
-        else:
-            limit = None
-
-        stack_ref[0] = jnp.int32(0)
-
-        best_t0 = jnp.minimum(tmax, _INF)
-        best_tri0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
         zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        neg1 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
 
-        def node_case(code, sp, bt, btri, bu, bv):
+        def pop(p, sp):
+            """Pop next code for packet p; -1 (no-op cluster) when empty."""
+            has = sp > 0
+            code = jnp.where(
+                has,
+                stack_ref[p * stack_depth + jnp.maximum(sp - 1, 0)],
+                jnp.int32(-1))
+            return code, jnp.maximum(sp - 1, 0)
+
+        def node_case(p, code, sp, bt, btri, bu, bv):
+            ox, oy, oz, dx, dy, dz, ix, iy, iz, _ = rays[p]
             nid = jnp.clip(code, 0, num_nodes - 1)
             row = nodes_ref[pl.ds(nid, 1), :]
             crow = child_ref[pl.ds(nid, 1), :]
@@ -138,9 +149,8 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
                 codes.append(crow[0, s])
 
             if arity == 2:
-                order = [(0, 1)]  # single compare
+                order = [(0, 1)]
             else:
-                # 4-element sorting network (ascending by t_near)
                 order = [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)]
             for a, b in order:
                 swap = mins[a] > mins[b]
@@ -155,13 +165,14 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
 
                 @pl.when(ok)
                 def _(s=s, sp=sp):
-                    stack_ref[sp] = codes[s]
+                    stack_ref[p * stack_depth + sp] = codes[s]
 
                 sp = sp + ok.astype(jnp.int32)
             return sp, bt, btri, bu, bv
 
-        def cluster_case(code, sp, bt, btri, bu, bv):
-            val = -(code + 1)
+        def cluster_case(p, code, sp, bt, btri, bu, bv):
+            ox, oy, oz, dx, dy, dz, ix, iy, iz, _ = rays[p]
+            val = -(code + 1)  # idle code -1 -> val 0 -> count 0 (no-op)
             start = jnp.clip(val // 256, 0, tri_rows - k_cluster)
             count = val % 256
             block = tri_ref[pl.ds(start, k_cluster), :]
@@ -179,77 +190,114 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
         max_steps = 8 * num_nodes + 4096
 
         if any_hit:
+            def occ_node_case(p, code, sp, occ):
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = rays[p]
+                limit = tmax - 1e-3
+                nid = jnp.clip(code, 0, num_nodes - 1)
+                row = nodes_ref[pl.ds(nid, 1), :]
+                live_limit = jnp.where(occ > 0, 0.0, limit)
+                crow = child_ref[pl.ds(nid, 1), :]
+                for s in range(arity):
+                    hit_s, _ = _slab(row, 6 * s, ox, oy, oz, ix, iy, iz,
+                                     live_limit)
+                    ok = jnp.any(hit_s) & (sp < stack_depth)
+                    cs = crow[0, s]
+
+                    @pl.when(ok)
+                    def _(cs=cs, sp=sp):
+                        stack_ref[p * stack_depth + sp] = cs
+
+                    sp = sp + ok.astype(jnp.int32)
+                return sp, occ
+
+            def occ_cluster_case(p, code, sp, occ):
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = rays[p]
+                limit = tmax - 1e-3
+                val = -(code + 1)
+                start = jnp.clip(val // 256, 0, tri_rows - k_cluster)
+                count = val % 256
+                block = tri_ref[pl.ds(start, k_cluster), :]
+                for j in range(k_cluster):
+                    t, u, v, hitg = _mt_scalar_tri(
+                        block, j, ox, oy, oz, dx, dy, dz)
+                    occ = jnp.maximum(
+                        occ,
+                        (hitg & (j < count) & (t < limit)).astype(jnp.int32))
+                return sp, occ
+
             def cond(c):
-                step, sp, occ = c
-                return (sp > 0) & (step < max_steps) & (jnp.min(occ) < 1)
+                step = c[0]
+                sps = c[1:1 + P]
+                occs = c[1 + P:]
+                live = jnp.int32(0)
+                for p in range(P):
+                    # packet contributes while it has work AND unresolved lanes
+                    live = live + jnp.where(
+                        (sps[p] > 0) & (jnp.min(occs[p]) < 1), 1, 0)
+                return (live > 0) & (step < max_steps)
 
             def body(c):
-                step, sp, occ = c
-                code = stack_ref[sp - 1]
-                sp = sp - 1
-                is_node = code >= 0
+                step = c[0]
+                sps = list(c[1:1 + P])
+                occs = list(c[1 + P:])
+                for p in range(P):
+                    code, sp = pop(p, sps[p])
+                    sps[p], occs[p] = jax.lax.cond(
+                        code >= 0,
+                        lambda a, p=p, code=code: occ_node_case(p, code, *a),
+                        lambda a, p=p, code=code: occ_cluster_case(p, code, *a),
+                        (sp, occs[p]))
+                return (step + 1, *sps, *occs)
 
-                def nc(args):
-                    sp, occ = args
-                    nid = jnp.clip(code, 0, num_nodes - 1)
-                    row = nodes_ref[pl.ds(nid, 1), :]
-                    live_limit = jnp.where(occ > 0, 0.0, limit)
-                    crow = child_ref[pl.ds(nid, 1), :]
-                    for s in range(arity):
-                        hit_s, _ = _slab(row, 6 * s, ox, oy, oz, ix, iy, iz,
-                                         live_limit)
-                        ok = jnp.any(hit_s) & (sp < stack_depth)
-                        cs = crow[0, s]
-
-                        @pl.when(ok)
-                        def _(cs=cs, sp=sp):
-                            stack_ref[sp] = cs
-
-                        sp = sp + ok.astype(jnp.int32)
-                    return sp, occ
-
-                def cc(args):
-                    sp, occ = args
-                    val = -(code + 1)
-                    start = jnp.clip(val // 256, 0, tri_rows - k_cluster)
-                    count = val % 256
-                    block = tri_ref[pl.ds(start, k_cluster), :]
-                    for j in range(k_cluster):
-                        t, u, v, hitg = _mt_scalar_tri(
-                            block, j, ox, oy, oz, dx, dy, dz)
-                        occ = jnp.maximum(
-                            occ,
-                            (hitg & (j < count) & (t < limit)).astype(jnp.int32))
-                    return sp, occ
-
-                sp2, occ2 = jax.lax.cond(is_node, nc, cc, (sp, occ))
-                return step + 1, sp2, occ2
-
-            _, sp_f, occ_f = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), jnp.int32(1), occluded0))
-            outs[0][0, :, :] = occ_f
+            init = (jnp.int32(0),)
+            init += tuple(jnp.int32(1) for _ in range(P))
+            occ0 = []
+            for p in range(P):
+                limit = rays[p][9] - 1e-3
+                occ0.append((limit <= 0.0).astype(jnp.int32))
+            init += tuple(occ0)
+            final = jax.lax.while_loop(cond, body, init)
+            for p in range(P):
+                outs[0][p, :, :] = final[1 + P + p]
         else:
             def cond(c):
-                return (c[0] > 0) & (c[1] < max_steps)
+                step = c[0]
+                sps = c[1:1 + P]
+                live = jnp.int32(0)
+                for p in range(P):
+                    live = live + jnp.where(sps[p] > 0, 1, 0)
+                return (live > 0) & (step < max_steps)
 
             def body(c):
-                sp, step, bt, btri, bu, bv = c
-                code = stack_ref[sp - 1]
-                sp = sp - 1
-                sp2, bt, btri, bu, bv = jax.lax.cond(
-                    code >= 0,
-                    lambda a: node_case(code, *a),
-                    lambda a: cluster_case(code, *a),
-                    (sp, bt, btri, bu, bv))
-                return sp2, step + 1, bt, btri, bu, bv
+                step = c[0]
+                sps = list(c[1:1 + P])
+                rest = list(c[1 + P:])
+                # rest layout: [bt0.., btri0.., bu0.., bv0..] grouped by field
+                bts = rest[0:P]
+                btris = rest[P:2 * P]
+                bus = rest[2 * P:3 * P]
+                bvs = rest[3 * P:4 * P]
+                for p in range(P):
+                    code, sp = pop(p, sps[p])
+                    sps[p], bts[p], btris[p], bus[p], bvs[p] = jax.lax.cond(
+                        code >= 0,
+                        lambda a, p=p, code=code: node_case(p, code, *a),
+                        lambda a, p=p, code=code: cluster_case(p, code, *a),
+                        (sp, bts[p], btris[p], bus[p], bvs[p]))
+                return (step + 1, *sps, *bts, *btris, *bus, *bvs)
 
-            sp_f, _, bt, btri, bu, bv = jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(1), jnp.int32(0), best_t0, best_tri0, zeros, zeros))
-            outs[0][0, :, :] = bt
-            outs[1][0, :, :] = btri
-            outs[2][0, :, :] = bu
-            outs[3][0, :, :] = bv
+            init = (jnp.int32(0),)
+            init += tuple(jnp.int32(1) for _ in range(P))
+            init += tuple(jnp.minimum(rays[p][9], _INF) for p in range(P))
+            init += tuple(neg1 for _ in range(P))
+            init += tuple(zeros for _ in range(P))
+            init += tuple(zeros for _ in range(P))
+            final = jax.lax.while_loop(cond, body, init)
+            for p in range(P):
+                outs[0][p, :, :] = final[1 + P + p]
+                outs[1][p, :, :] = final[1 + 2 * P + p]
+                outs[2][p, :, :] = final[1 + 3 * P + p]
+                outs[3][p, :, :] = final[1 + 4 * P + p]
 
     return kernel
 
@@ -259,9 +307,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tile_rays(ori: Vec3, d: Vec3, t_max: jnp.ndarray):
+def _tile_rays(ori: Vec3, d: Vec3, t_max: jnp.ndarray, group: int = 1):
+    """Pad + reshape rays to (nt, 8, 128) with nt a multiple of `group`
+    (padded packets carry t_max=0 and finish after one root test)."""
     n = ori.shape[0]
-    n_pad = -(-n // PACKET) * PACKET
+    n_pad = -(-n // (PACKET * group)) * PACKET * group
     nt = n_pad // PACKET
 
     def pad3(v):
@@ -275,15 +325,24 @@ def _tile_rays(ori: Vec3, d: Vec3, t_max: jnp.ndarray):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("stack_depth",))
+# Packets per Pallas program. Measured on v5e: P=2/P=4 give NO speedup
+# (~5% slower) — Mosaic executes the while body without overlapping the
+# independent packets' fetch/reduce chains, so the step stays serial.
+# Kept as a parameter; default 1.
+INTERLEAVE = 1
+
+
+@functools.partial(jax.jit, static_argnames=("stack_depth", "interleave"))
 def packet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
-                       t_max: jnp.ndarray, stack_depth: int = 64) -> HitRecord:
-    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max)
+                       t_max: jnp.ndarray, stack_depth: int = 64,
+                       interleave: int = INTERLEAVE) -> HitRecord:
+    P = interleave
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max, group=P)
 
     kernel = _make_kernel(pack.num_nodes, pack.max_cluster, stack_depth,
                           any_hit=False, tri_rows=pack.tri_f32.shape[0],
-                          arity=pack.arity)
-    ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
+                          arity=pack.arity, interleave=P)
+    ray_spec = pl.BlockSpec((P, SUBLANES, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [
@@ -294,11 +353,11 @@ def packet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
     ]
     bt, btri, bu, bv = pl.pallas_call(
         kernel,
-        grid=(nt,),
+        grid=(nt // P,),
         in_specs=[ray_spec] * 7 + [tab_spec] * 3,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((P * stack_depth + 2,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -317,23 +376,25 @@ def packet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("stack_depth",))
+@functools.partial(jax.jit, static_argnames=("stack_depth", "interleave"))
 def packet_any_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
-                   t_max: jnp.ndarray, stack_depth: int = 64) -> jnp.ndarray:
-    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max)
+                   t_max: jnp.ndarray, stack_depth: int = 64,
+                   interleave: int = INTERLEAVE) -> jnp.ndarray:
+    P = interleave
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays(ori, d, t_max, group=P)
     kernel = _make_kernel(pack.num_nodes, pack.max_cluster, stack_depth,
                           any_hit=True, tri_rows=pack.tri_f32.shape[0],
-                          arity=pack.arity)
-    ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
+                          arity=pack.arity, interleave=P)
+    ray_spec = pl.BlockSpec((P, SUBLANES, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         kernel,
-        grid=(nt,),
+        grid=(nt // P,),
         in_specs=[ray_spec] * 7 + [tab_spec] * 3,
         out_specs=[ray_spec],
         out_shape=[jax.ShapeDtypeStruct((nt, SUBLANES, LANES), jnp.int32)],
-        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((P * stack_depth + 2,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
