@@ -1,0 +1,133 @@
+"""CLI end-to-end tests (tiny scenes, brute backend, CPU)."""
+
+import json
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from tpt.cli import build_argparser, main
+from tpt.io.objwriter import write_obj
+from tpt.scene import procedural
+
+
+@pytest.fixture
+def tiny_scene(tmp_path):
+    scene = procedural.cornell_box(resolution=(24, 24), spheres=False)
+    write_obj(str(tmp_path / "box.obj"), scene.mesh, scene.materials)
+    doc = {
+        "Camera": {
+            "RES": [24, 24], "FOVY": 39.3, "ITERATIONS": 2, "DEPTH": 2,
+            "FILE": "out",
+            "EYE": [278.0, 273.0, -800.0], "LOOKAT": [278.0, 273.0, 0.0],
+            "UP": [0.0, 1.0, 0.0],
+        },
+        "Objects": [{"TRANS": [0, 0, 0], "ROTAT": [0, 0, 0],
+                     "SCALE": [1, 1, 1], "FILE": "box.obj"}],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(doc))
+    return str(p), tmp_path
+
+
+class TestCLI:
+    def test_headless_wavefront(self, tiny_scene):
+        path, tmp = tiny_scene
+        rc = main([path, "-wave", "--backend", "brute",
+                   "--out-dir", str(tmp / "out")])
+        assert rc == 0
+        pngs = [f for f in os.listdir(tmp / "out") if f.endswith(".png")]
+        assert len(pngs) == 1
+        assert pngs[0].startswith("out.") and "2samp" in pngs[0]
+
+    def test_megakernel_flag(self, tiny_scene):
+        path, tmp = tiny_scene
+        rc = main([path, "-mega", "--backend", "brute", "--iterations", "1",
+                   "--out-dir", str(tmp / "mega")])
+        assert rc == 0
+
+    def test_bvh_backend_and_depth_override(self, tiny_scene):
+        path, tmp = tiny_scene
+        rc = main([path, "--backend", "bvh", "--depth", "1",
+                   "--iterations", "1", "--out-dir", str(tmp / "bvh")])
+        assert rc == 0
+
+    def test_vis_preview(self, tiny_scene):
+        path, tmp = tiny_scene
+        rc = main([path, "-vis", "--backend", "brute", "--iterations", "2",
+                   "--preview-every", "1", "--out-dir", str(tmp / "vis")])
+        assert rc == 0
+        assert os.path.exists(tmp / "vis" / "out.preview.png")
+
+    def test_argparser_defaults(self):
+        args = build_argparser().parse_args(["scene.json"])
+        assert not args.mega and not args.vis
+        assert args.backend == "auto"
+
+
+class TestTexturedMTL:
+    def test_map_kd_end_to_end(self, tmp_path):
+        """MTL with map_Kd: texture loads into the atlas, material becomes
+        PBR, and the textured scene renders through the full stack."""
+        from PIL import Image
+
+        tex = np.zeros((8, 8, 3), np.uint8)
+        tex[:, :4] = (255, 0, 0)
+        tex[:, 4:] = (0, 0, 255)
+        Image.fromarray(tex).save(tmp_path / "checker.png")
+
+        (tmp_path / "quad.obj").write_text(textwrap.dedent("""\
+            mtllib quad.mtl
+            v 0 0 0
+            v 552 0 0
+            v 552 548 0
+            v 0 548 0
+            vt 0 0
+            vt 1 0
+            vt 1 1
+            vt 0 1
+            vn 0 0 -1
+            usemtl tex
+            f 1/1/1 2/2/1 3/3/1 4/4/1
+            """))
+        (tmp_path / "quad.mtl").write_text(
+            "newmtl tex\nKd 1 1 1\nmap_Kd checker.png\n")
+
+        from tpt.scene.host import HostScene, HostMaterial
+        from tpt.scene.obj import load_obj
+        from tpt.scene.structs import MaterialType
+
+        scene = HostScene()
+        light = scene.add_material(HostMaterial("l", (1, 1, 1), emittance=20.0))
+        mesh = load_obj(str(tmp_path / "quad.obj"), scene)
+        m = scene.materials[-1]
+        assert m.tex_diffuse >= 0
+        assert m.mtype == MaterialType.MICROFACET_PBR
+
+        lightq = procedural.make_quad((200, 600, -200), (350, 600, -200),
+                                      (350, 600, -100), (200, 600, -100),
+                                      light)
+        from tpt.scene.mesh import merge_meshes
+
+        scene.mesh = merge_meshes([mesh, lightq])
+        from tpt.core.camera import Camera
+
+        scene.camera = Camera.build((32, 32), (276, 274, -500), (276, 274, 0),
+                                    (0, 1, 0), 45.0)
+        data = scene.build()
+        from tpt.config import RayCastBackend, RenderConfig
+        from tpt.integrators import megakernel
+
+        img = megakernel.render(
+            data, scene.camera,
+            RenderConfig(backend=RayCastBackend.BRUTE_FORCE, trace_depth=2),
+            iterations=6)
+        assert np.isfinite(img).all()
+        # texture visible: camera right = -x (cross(view,up)), so image-left
+        # shows u~1 (blue) and image-right u~0 (red); the CLI x-mirrors at
+        # save time to flip this to screen convention
+        left = img[8:24, 2:12].mean(axis=(0, 1))
+        right = img[8:24, 20:30].mean(axis=(0, 1))
+        assert left[2] > left[0] * 2, (left, right)
+        assert right[0] > right[2] * 2, (left, right)

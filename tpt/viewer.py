@@ -54,6 +54,21 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
     fig.canvas.manager.set_window_title("tpt viewer")
     state = {"quit": False}
 
+    def move_camera(forward=0.0, right=0.0, up=0.0):
+        """FPS-style camera translation (reference main.cpp:271-301);
+        resets accumulation like the reference's camera edits."""
+        import numpy as np_
+
+        cam = renderer.cam
+        speed = 0.02 * np_.linalg.norm(
+            np_.asarray(cam.look_at) - np_.asarray(cam.position)) + 1.0
+        delta = (np_.asarray(cam.view) * forward
+                 + np_.asarray(cam.right) * right
+                 + np_.asarray(cam.true_up) * up) * speed
+        renderer.move_camera(cam.moved(
+            position=tuple(np_.asarray(cam.position) + delta),
+            look_at=tuple(np_.asarray(cam.look_at) + delta)))
+
     def on_key(event):
         k = event.key
         if k == "q":
@@ -64,8 +79,26 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
         elif k == "s":
             save_png(os.path.join(out_dir, "viewer_save.png"),
                      renderer.frame()[:, ::-1])
-        elif k in "12345":
+        elif k in "123456":
             renderer.gui.display_mode = DisplayMode(int(k) - 1)
+        elif k == "w":
+            move_camera(forward=1.0)
+        elif k == "x":
+            move_camera(forward=-1.0)
+        elif k == "a":
+            move_camera(right=-1.0)
+        elif k == "e":
+            move_camera(right=1.0)
+        elif k == "r":
+            move_camera(up=1.0)
+        elif k == "f":
+            move_camera(up=-1.0)
+        elif k == " ":
+            # camera parameter dump for scene authoring (main.cpp:360-376)
+            cam = renderer.cam
+            print(f'"EYE": {list(cam.position)},')
+            print(f'"LOOKAT": {list(cam.look_at)},')
+            print(f'"UP": {list(cam.up)},')
 
     fig.canvas.mpl_connect("key_press_event", on_key)
     handle = ax.imshow(np.zeros((8, 8, 3), np.uint8))
