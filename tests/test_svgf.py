@@ -158,3 +158,33 @@ class TestEngine:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+class TestPallasAtrous:
+    def test_matches_xla_atrous(self):
+        """Pallas band-stencil a-trous == XLA pad+slice formulation."""
+        import jax
+        from tpt.denoise.svgf import _atrous_once
+        from tpt.denoise.pallas_stencil import atrous_pallas
+
+        h, w = 96, 160
+        rs = np.random.default_rng(0)
+        mk = lambda: jnp.asarray(rs.random((h, w)).astype(np.float32))
+        ill_d = Vec3(mk(), mk(), mk())
+        var_d = mk()
+        ill_i = Vec3(mk(), mk(), mk())
+        var_i = mk()
+        depth = jnp.asarray((rs.random((h, w)) * 50 + 5).astype(np.float32))
+        depth = depth.at[10:20, 30:50].set(-1000.0)
+        nrm = rs.normal(size=(h, w, 3))
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        normal = Vec3.from_stacked(jnp.asarray(nrm.astype(np.float32)))
+        for step in (1, 8):
+            want = _atrous_once(ill_d, var_d, ill_i, var_i, depth, normal,
+                                step, CFG)
+            got = atrous_pallas(ill_d, var_d, ill_i, var_i, depth, normal,
+                                step, CFG.sigma_z, CFG.sigma_n, CFG.sigma_l)
+            for a, b in zip(jax.tree_util.tree_leaves(got),
+                            jax.tree_util.tree_leaves(want)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5)

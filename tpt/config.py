@@ -42,6 +42,9 @@ class SVGFConfig:
     history_threshold: int = 4  # frames of history before temporal variance
     temporal_alpha_min: float = 0.1
     demodulate_threshold: float = 0.01
+    # Pallas band-stencil a-trous (denoise/pallas_stencil.py) instead of the
+    # XLA pad+slice formulation; bitwise-equivalent (tests), HBM-optimal
+    use_pallas_atrous: bool = True
 
 
 @dataclass(frozen=True)

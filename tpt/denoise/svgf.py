@@ -238,8 +238,9 @@ def _atrous_once(illum_d: Vec3, var_d, illum_i: Vec3, var_i,
     denom_d = 1.0 / (cfg.sigma_l * jnp.sqrt(jnp.maximum(0.0, var_d)) + eps)
     denom_i = 1.0 / (cfg.sigma_l * jnp.sqrt(jnp.maximum(0.0, var_i)) + eps)
 
-    dzdx = _shift(depth, 0, 1) - depth
-    dzdy = _shift(depth, 1, 0) - depth
+    # edge-clamped gradient (reference: idx_r = min(x+1, w-1))
+    dzdx = jnp.where(_shift_valid((h, w), 0, 1), _shift(depth, 0, 1) - depth, 0.0)
+    dzdy = jnp.where(_shift_valid((h, w), 1, 0), _shift(depth, 1, 0) - depth, 0.0)
     dzdx = jnp.where(jnp.abs(dzdx) < eps, eps, dzdx)
     dzdy = jnp.where(jnp.abs(dzdy) < eps, eps, dzdy)
 
@@ -364,11 +365,21 @@ def run_svgf(cfg: SVGFConfig, state: SVGFState,
     # of iteration index 3, i.e. the buffer last written to the ping slot).
     # Barriers fence each iteration: XLA fusion would otherwise duplicate
     # the whole upstream graph into each of the 8 taps of the next pass.
+    if cfg.use_pallas_atrous:
+        from .pallas_stencil import atrous_pallas
+
+        def one_pass(ill_d, var_d, ill_i, var_i, step):
+            return atrous_pallas(ill_d, var_d, ill_i, var_i, depth, normal,
+                                 step, cfg.sigma_z, cfg.sigma_n, cfg.sigma_l)
+    else:
+        def one_pass(ill_d, var_d, ill_i, var_i, step):
+            return _atrous_once(ill_d, var_d, ill_i, var_i, depth, normal,
+                                step, cfg)
+
     hist_tap = None
     for it in range(cfg.atrous_iterations):
         ill_d, var_d, ill_i, var_i = jax.lax.optimization_barrier(
-            _atrous_once(ill_d, var_d, ill_i, var_i, depth, normal,
-                         1 << it, cfg))
+            one_pass(ill_d, var_d, ill_i, var_i, 1 << it))
         if it == cfg.atrous_iterations - 2:
             hist_tap = (ill_d, var_d, ill_i, var_i)
     if hist_tap is None:
