@@ -35,8 +35,12 @@ def _lum(r, g, b):
 
 def _make_kernel(step: int, h: int, w: int, wp: int, sigma_z: float,
                  sigma_n: float, sigma_l: float):
-    halo = step
-    rows = BAND + 2 * halo
+    # fixed 8-aligned staging window: inputs are padded by MAX_HALO on every
+    # side, so the window [band*BAND, +ROWS) is always in bounds and its
+    # start (a multiple of 64) is sublane-aligned — Mosaic rejects
+    # dynamic-sliced DMA windows with unaligned row counts
+    halo = MAX_HALO
+    rows = BAND + 2 * MAX_HALO  # 96, a multiple of 8
 
     def kernel(*refs):
         in_refs = refs[:N_IN]
@@ -155,7 +159,7 @@ def atrous_pallas(ill_d: Vec3, var_d, ill_i: Vec3, var_i, depth, normal: Vec3,
                   step: int, sigma_z: float, sigma_n: float, sigma_l: float):
     """One à-trous pass; drop-in for svgf._atrous_once on TPU."""
     h, w = depth.shape
-    halo = step
+    halo = MAX_HALO
     h_pad = -(-h // BAND) * BAND
     wp = -(-(w + 2 * MAX_HALO) // 128) * 128
 
@@ -191,7 +195,7 @@ def atrous_pallas(ill_d: Vec3, var_d, ill_i: Vec3, var_i, depth, normal: Vec3,
         out_specs=[out_spec] * N_OUT,
         out_shape=[jax.ShapeDtypeStruct((h_pad, wp), jnp.float32)] * N_OUT,
         scratch_shapes=[
-            pltpu.VMEM((N_IN, BAND + 2 * step, wp), jnp.float32),
+            pltpu.VMEM((N_IN, BAND + 2 * MAX_HALO, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((N_IN,)),
         ],
         compiler_params=pltpu.CompilerParams(
