@@ -188,3 +188,33 @@ class TestPallasAtrous:
                             jax.tree_util.tree_leaves(want)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            atol=1e-5)
+
+
+class TestViewerAndCameraMove:
+    def test_headless_viewer_loop(self, tmp_path):
+        from tpt.engine import Renderer
+        from tpt.viewer import run_viewer
+
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=False)
+        cfg = RenderConfig(mode=RenderMode.WAVEFRONT,
+                           backend=RayCastBackend.BRUTE_FORCE, trace_depth=2)
+        r = Renderer(scene.build(), scene.camera, cfg)
+        run_viewer(r, max_frames=2, out_dir=str(tmp_path), snapshot_every=1,
+                   interactive=False)
+        assert (tmp_path / "preview.png").exists()
+
+    def test_move_camera_resets_and_renders(self):
+        from tpt.engine import Renderer
+
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=False)
+        cfg = RenderConfig(mode=RenderMode.WAVEFRONT,
+                           backend=RayCastBackend.BRUTE_FORCE, trace_depth=2,
+                           denoiser_on=True)
+        r = Renderer(scene.build(), scene.camera, cfg)
+        r.frame()
+        r.frame()
+        r.move_camera(scene.camera.moved(position=(290.0, 273.0, -800.0)))
+        assert r.iteration == 0
+        img = r.frame()
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.005

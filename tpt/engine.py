@@ -75,19 +75,18 @@ class Renderer:
         self.svgf_state = SVGFState.zeros(h, w)
 
     def move_camera(self, cam: Camera):
+        """Re-target the camera: rebuild the jitted step and clear
+        accumulation; the previous view-projection is kept so SVGF motion
+        vectors bridge the move."""
         self.cam = cam
         if self.cfg.mode == RenderMode.MEGAKERNEL:
             self._mega_step = megakernel.make_sample_fn(self.scene, cam, self.cfg)
         else:
-            self._prev_vp = getattr(self, "_vp", None)
+            prev = getattr(self, "_vp", None)
             self._frame_fn, self._vp = wavefront.make_frame_fn(
                 self.scene, cam, self.cfg)
-            if self._prev_vp is None:
-                self._prev_vp = self._vp
-        prev_vp = getattr(self, "_prev_vp", None)
+            self._prev_vp = prev if prev is not None else self._vp
         self.reset()
-        if prev_vp is not None and self.cfg.mode != RenderMode.MEGAKERNEL:
-            self._prev_vp = prev_vp  # keep for motion vectors
 
     # -- svgf glue -------------------------------------------------------------
     def _svgf_impl(self, st: SVGFState, out):
