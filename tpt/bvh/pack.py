@@ -31,16 +31,13 @@ from ..scene.structs import LBVHData, MeshData
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PacketBVH:
-    node_f32: jnp.ndarray   # [Nt, 16] (arity 2) or [Nt, 32] (arity 4) f32
+    node_f32: jnp.ndarray   # [Nt, 6*arity (padded to lane mult)] f32
     node_child: jnp.ndarray  # [Nt, arity] int32
     tri_f32: jnp.ndarray    # [Tp, 16] f32
     num_nodes: int = field(metadata=dict(static=True), default=0)
     num_triangles: int = field(metadata=dict(static=True), default=0)
     max_cluster: int = field(metadata=dict(static=True), default=8)
     arity: int = field(metadata=dict(static=True), default=2)
-
-
-EMPTY_CHILD = -(2 ** 30)  # BVH4 slot with no child
 
 
 def encode_cluster(start: int, count: int) -> int:
@@ -161,86 +158,4 @@ def build_packet_bvh(mesh: MeshData, bvh: LBVHData, max_cluster: int = 8
         num_triangles=int(n),
         max_cluster=k,
         arity=2,
-    )
-
-
-def build_packet_bvh4(mesh: MeshData, bvh: LBVHData, max_cluster: int = 32
-                      ) -> PacketBVH:
-    """Collapse the binary tree two levels at a time into a 4-wide packet
-    BVH: one row fetch tests four grandchild boxes, halving traversal
-    steps at ~25% more per-step math (profitable at the measured
-    ~70ns-per-reduce, ~120ns-per-fetch step costs).
-
-    Row layout [Nt, 32]: child i box at cols [6i, 6i+6) (bmin, bmax);
-    child codes in node_child [Nt, 4] (top node id, cluster code, or
-    EMPTY_CHILD)."""
-    base = build_packet_bvh(mesh, bvh, max_cluster=max_cluster)
-    b_f32 = np.asarray(base.node_f32)
-    b_child = np.asarray(base.node_child)
-    nt = base.num_nodes
-
-    # children of binary-top node i: (code, box) pairs
-    def child_box(i, side):
-        return b_f32[i, 6 * side:6 * side + 6]
-
-    # collapse: keep binary node 0 as BVH4 root; a kept node's 4 slots are
-    # the grandchildren (or the child itself if it is a cluster).
-    keep = np.zeros(nt, bool)
-    keep[0] = True
-    slots_code = []
-    slots_box = []
-    remap = np.full(nt, -1, np.int64)
-    order = []
-
-    # BFS to discover kept binary nodes (every other level)
-    from collections import deque
-
-    queue = deque([0])
-    while queue:
-        i = queue.popleft()
-        if remap[i] >= 0:
-            continue
-        remap[i] = len(order)
-        order.append(i)
-        codes = []
-        boxes = []
-        for side in (0, 1):
-            c = int(b_child[i, side])
-            if c < 0:  # cluster child occupies one slot
-                codes.append(("cluster", c))
-                boxes.append(child_box(i, side))
-            else:
-                # expand internal child -> its two children become slots
-                for gs in (0, 1):
-                    gc = int(b_child[c, gs])
-                    codes.append(("node", gc) if gc >= 0 else ("cluster", gc))
-                    boxes.append(b_f32[c, 6 * gs:6 * gs + 6])
-                    if gc >= 0:
-                        queue.append(gc)
-        slots_code.append(codes)
-        slots_box.append(boxes)
-
-    n4 = len(order)
-    node_f32 = np.zeros((n4, 32), np.float32)
-    node_child = np.full((n4, 4), EMPTY_CHILD, np.int32)
-    for row, (codes, boxes) in enumerate(zip(slots_code, slots_box)):
-        for s, ((kind, c), box) in enumerate(zip(codes, boxes)):
-            node_f32[row, 6 * s:6 * s + 6] = box
-            if kind == "cluster":
-                node_child[row, s] = c
-            else:
-                node_child[row, s] = remap[c]
-        # unused slots: inverted boxes (never hit)
-        for s in range(len(codes), 4):
-            node_f32[row, 6 * s:6 * s + 3] = 3e38
-            node_f32[row, 6 * s + 3:6 * s + 6] = -3e38
-
-    return PacketBVH(
-        node_f32=jnp.asarray(node_f32),
-        node_child=jnp.asarray(node_child),
-        tri_f32=base.tri_f32,
-        num_nodes=n4,
-        num_triangles=base.num_triangles,
-        max_cluster=max_cluster,
-        arity=4,
     )

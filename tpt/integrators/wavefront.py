@@ -93,8 +93,9 @@ class FrameOutput:
 def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                  cfg: RenderConfig, view_proj, prev_view_proj, depth, carry):
     """One wavefront bounce over the full path pool (shared by the fused
-    fori_loop frame and the split per-dispatch execution)."""
-    n = cam.num_pixels
+    fori_loop frame, the split per-dispatch execution, and the shard_map
+    multi-chip step — lane count comes from the carry, so a per-device
+    shard of the path pool works unchanged)."""
     w, h = cam.resolution
     has_lights = scene.lights.num_lights > 0
 
@@ -109,6 +110,7 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
     if True:  # keep original indentation of the bounce body
         (ori, direction, throughput, last_pdf, state, alive,
          direct, indirect, gbuf, rays) = carry
+        n = ori.shape[0]
         first = depth == 0
 
         # ---- TraceExtensionRay stage -------------------------------------

@@ -48,16 +48,29 @@ def replicate(mesh: Mesh, tree):
 
 
 def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
-                      mesh: Mesh, axis: str = "dp", with_svgf: bool = True):
+                      mesh: Mesh, axis: str = "dp", with_svgf: bool = True,
+                      use_shard_map: bool = True):
     """Jitted full step over the mesh: one wavefront 1-spp frame (pixels
     sharded) + SVGF (rows sharded, halo exchange) + accumulation.
 
-    Returns (step_fn, init_state_fn). step_fn(iteration, prev_vp, carry)
-    -> (rgb [H, W] Vec3 row-sharded, carry')."""
+    `use_shard_map=True` (default) runs the bounce loop under
+    jax.shard_map: each device executes the full per-shard pipeline —
+    including the Pallas traversal kernels and the per-shard coherence
+    sort — with zero communication until a single psum for the ray
+    counter. This is the real multi-chip execution shape (a global GSPMD
+    lax.sort over sharded rays would insert all-to-alls every bounce).
+    SVGF stays under GSPMD row sharding so its stencil halos become
+    collective-permutes on ICI.
+
+    Returns (step_fn, init_state_fn, view_proj). step_fn(iteration,
+    prev_vp, carry) -> (rgb [H, W] Vec3 row-sharded, carry')."""
     raycaster = make_raycaster(scene, cfg)
     vp = wavefront.camera_view_proj(cam)
     w, h = cam.resolution
     n = cam.num_pixels
+    ndev = int(np.prod(mesh.devices.shape))
+    assert n % ndev == 0 and h % ndev == 0, (
+        f"pixels ({w}x{h}) must divide the {ndev}-device mesh")
 
     path_sh = NamedSharding(mesh, P(axis))
     row_sh = NamedSharding(mesh, P(axis, None))
@@ -74,11 +87,43 @@ def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
 
     scene_repl = replicate(mesh, scene)
 
+    def bounce_loop(prev_vp, ori, direction, state):
+        """Per-device: full bounce loop over this device's path shard."""
+        nloc = ori.shape[0]
+        carry = (ori, direction, Vec3.ones((nloc,)), jnp.zeros((nloc,)),
+                 state, jnp.ones((nloc,), bool), Vec3.zeros((nloc,)),
+                 Vec3.zeros((nloc,)), wavefront.GBuffers.zeros(nloc),
+                 jnp.zeros((), jnp.int32))
+        carry = jax.lax.fori_loop(
+            0, cfg.trace_depth,
+            lambda depth, c: wavefront._bounce_body(
+                scene_repl, raycaster, cam, cfg, vp, prev_vp, depth, c),
+            carry)
+        direct, indirect, gbuf, rays = carry[6], carry[7], carry[8], carry[9]
+        guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
+        return (guard(direct), guard(indirect), gbuf,
+                jax.lax.psum(rays, axis))
+
+    if use_shard_map:
+        sharded_bounces = jax.shard_map(
+            bounce_loop, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P()),
+            check_vma=False)
+
     @partial(jax.jit, static_argnames=())
     def step(iteration, prev_vp, carry):
         acc_d, acc_i, svgf_state = carry
-        out = wavefront.trace_frame(
-            scene_repl, raycaster, cam, cfg, iteration, vp, prev_vp)
+        if use_shard_map:
+            ori, direction, state = wavefront.generate_camera_rays(
+                cam, iteration, cfg.jitter)
+            direct, indirect, gbuf, rays = sharded_bounces(
+                prev_vp, ori, direction, state)
+            out = wavefront.FrameOutput(direct=direct, indirect=indirect,
+                                        gbuf=gbuf, rays_traced=rays)
+        else:
+            out = wavefront.trace_frame(
+                scene_repl, raycaster, cam, cfg, iteration, vp, prev_vp)
         acc_d = acc_d + out.direct
         acc_i = acc_i + out.indirect
 
