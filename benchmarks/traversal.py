@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Ray-cast kernel sweep (BENCHMARKS.md §4): Mrays/s per ray population
+(coherent primaries / sorted bounce rays / fully random) for the packet
+kernels — v1 binary vs v2 wide-node — across (arity, cluster K, node pops).
+
+Run on the TPU host. Env: TRAV_N (ray count, default 2**20),
+TRAV_TRIS (default 143_000), TRAV_CFGS (e.g. "v1:32 4:16:1 8:16:1 4:8:2").
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpt.core.vec import Vec3
+    from tpt.core.camera import generate_camera_rays
+    from tpt.bvh.pack import build_packet_bvh, build_packet_bvh_wide
+    from tpt.bvh.pallas_traverse import (
+        packet_closest_hit, packet_closest_hit_wide)
+    from tpt.bvh.sah import build_sah_bvh
+    from tpt.integrators import raysort
+    from tpt.integrators.intersect import FLT_MAX
+    from tpt.scene import procedural
+
+    n = int(os.environ.get("TRAV_N", str(2 ** 20)))
+    tris = int(os.environ.get("TRAV_TRIS", "143000"))
+    cfgs = os.environ.get("TRAV_CFGS", "v1:32 4:16:1 8:16:1 8:32:1").split()
+
+    t0 = time.time()
+    res = (1440, n // 1440)
+    host = procedural.fireplace_like(num_triangles=tris, resolution=res)
+    scene = host.build(with_bvh=True)
+    bvh = scene.bvh
+    mesh = scene.mesh
+    print(f"[trav] scene {mesh.num_triangles} tris ({time.time()-t0:.0f}s)",
+          file=sys.stderr)
+
+    # --- ray populations ---------------------------------------------------
+    cam = host.camera
+    nn = cam.num_pixels
+    ori_p, dir_p, _ = generate_camera_rays(cam, jnp.uint32(1))
+    tmax = jnp.full((nn,), FLT_MAX)
+
+    rng = np.random.default_rng(7)
+    lo = np.array([np.asarray(mesh.positions.x).min(),
+                   np.asarray(mesh.positions.y).min(),
+                   np.asarray(mesh.positions.z).min()])
+    hi = np.array([np.asarray(mesh.positions.x).max(),
+                   np.asarray(mesh.positions.y).max(),
+                   np.asarray(mesh.positions.z).max()])
+    p = rng.uniform(lo, hi, (nn, 3)).astype(np.float32)
+    drnd = rng.normal(size=(nn, 3)).astype(np.float32)
+    drnd /= np.linalg.norm(drnd, axis=1, keepdims=True)
+    ori_r = Vec3(*[jnp.asarray(p[:, i]) for i in range(3)])
+    dir_r = Vec3(*[jnp.asarray(drnd[:, i]) for i in range(3)])
+
+    world_lo, world_inv = raysort.world_bounds(mesh)
+
+    def sort_rays(o, d):
+        key = raysort.coherence_key(o, d, world_lo, world_inv)
+        perm, _ = raysort.sort_permutation(key)
+        return o.take(perm), d.take(perm)
+
+    ori_rs, dir_rs = jax.jit(sort_rays)(ori_r, dir_r)
+
+    pops = {
+        "primary": (ori_p, dir_p),
+        "sorted_random": (ori_rs, dir_rs),
+        "random": (ori_r, dir_r),
+    }
+
+    def bench(fn, o, d, reps=3):
+        hit = fn(o, d, tmax)
+        np.asarray(hit.t)  # compile + force
+        t0 = time.time()
+        for _ in range(reps):
+            hit = fn(o, d, tmax)
+        np.asarray(hit.t)
+        return nn * reps / (time.time() - t0) / 1e6
+
+    for cfg in cfgs:
+        parts = cfg.split(":")
+        if parts[0] == "v1":
+            pack = build_packet_bvh(mesh, bvh, max_cluster=int(parts[1]))
+            fn = lambda o, d, t: packet_closest_hit(pack, o, d, t)
+        else:
+            arity, k, np_ = int(parts[0]), int(parts[1]), int(parts[2])
+            grp = int(parts[3]) if len(parts) > 3 else 1
+            pack = build_packet_bvh_wide(mesh, bvh, max_cluster=k,
+                                         arity=arity)
+            fn = lambda o, d, t: packet_closest_hit_wide(
+                pack, o, d, t, node_pops=np_, group=grp)
+        for pop_name, (o, d) in pops.items():
+            t0 = time.time()
+            mrays = bench(fn, o, d)
+            print(json.dumps({
+                "metric": f"closest_hit {cfg} {pop_name}",
+                "value": round(mrays, 3), "unit": "Mrays/s",
+                "wall": round(time.time() - t0, 1)}))
+            sys.stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

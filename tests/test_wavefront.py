@@ -81,39 +81,21 @@ if __name__ == "__main__":
 
 
 class TestRaySorting:
-    def test_sorted_traversal_matches_unsorted(self):
-        """Coherence sorting must not change results, only packet order."""
-        from tpt.integrators import raysort
-        from tpt.integrators.common import make_raycaster
-
+    def test_sorted_pool_matches_unsorted(self):
+        """The persistent coherence sort (sort_bounce_rays) must not change
+        any pixel: per-lane math is order-independent and the end-of-frame
+        unsort restores pixel order exactly — bit-identical frames."""
         scene = procedural.cornell_box(resolution=(32, 32), spheres=True)
         data = scene.build(with_bvh=True)
-        cfg = RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=2)
-        rc = make_raycaster(data, cfg)
-
-        rs = np.random.default_rng(0)
-        n = 2048
-        from tpt.core.vec import Vec3
-
-        ori = Vec3.from_stacked(jnp.asarray(
-            rs.uniform(0, 550, (n, 3)).astype(np.float32)))
-        dd = rs.normal(size=(n, 3)).astype(np.float32)
-        dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
-        d = Vec3.from_stacked(jnp.asarray(dd))
-        tmax = jnp.full((n,), 3.4e38)
-
-        lo, inv = raysort.world_bounds(data.mesh)
-        sorted_hit = raysort.sorted_closest_hit(rc, ori, d, tmax, lo, inv)
-        plain_hit = rc.closest_hit(ori, d, tmax)
-        np.testing.assert_array_equal(np.asarray(sorted_hit.tri),
-                                      np.asarray(plain_hit.tri))
-        np.testing.assert_allclose(np.asarray(sorted_hit.t),
-                                   np.asarray(plain_hit.t), rtol=1e-6)
-
-        occ_s = raysort.sorted_any_hit(rc, ori, d, jnp.full((n,), 300.0),
-                                       lo, inv)
-        occ_p = rc.any_hit(ori, d, jnp.full((n,), 300.0))
-        np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_p))
+        img_sorted = wavefront.render(
+            data, scene.camera,
+            RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=3,
+                         sort_bounce_rays=True), iterations=2)
+        img_plain = wavefront.render(
+            data, scene.camera,
+            RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=3,
+                         sort_bounce_rays=False), iterations=2)
+        np.testing.assert_array_equal(img_sorted, img_plain)
 
     def test_wavefront_pallas_sorted_render(self):
         """Full wavefront frame through the Pallas backend (interpret mode)

@@ -32,7 +32,8 @@ from ..scene.structs import LBVHData, MeshData
 @dataclass(frozen=True)
 class PacketBVH:
     node_f32: jnp.ndarray   # [Nt, 6*arity (padded to lane mult)] f32
-    node_child: jnp.ndarray  # [Nt, arity] int32
+    node_child: jnp.ndarray  # [Nt, arity] int32; wide: [Nt, 16] (codes +
+    #                          8 per-octant packed order words, cols 8..15)
     tri_f32: jnp.ndarray    # [Tp, 16] f32
     num_nodes: int = field(metadata=dict(static=True), default=0)
     num_triangles: int = field(metadata=dict(static=True), default=0)
@@ -158,4 +159,120 @@ def build_packet_bvh(mesh: MeshData, bvh: LBVHData, max_cluster: int = 8
         num_triangles=int(n),
         max_cluster=k,
         arity=2,
+    )
+
+
+def build_packet_bvh_wide(mesh: MeshData, bvh: LBVHData,
+                          max_cluster: int = 16, arity: int = 4
+                          ) -> PacketBVH:
+    """Collapse the binary top tree into an `arity`-wide packet BVH with
+    per-octant static child orderings.
+
+    TPU rationale: the packet kernel's step cost is dominated by a serial
+    fetch->test->reduce chain, so each step should cover as much tree as
+    possible — one row fetch tests `arity` child boxes. Traversal order
+    comes from a host-precomputed table (slots sorted by child-box center
+    along each octant direction, 4 bits/slot packed into one int32 per
+    octant) instead of a per-step packet-min reduce: after the coherence
+    sort all rays of a packet share an octant, so direction-sign ordering
+    is the classic BVH near-child heuristic at zero vector-lane cost.
+
+    Layouts:
+    - node_f32 [Nt, ceil(6*arity/8)*8]: child s box at cols [6s, 6s+6)
+      (empty slots get inverted boxes — never hit)
+    - node_child [Nt, 16]: cols [0, arity) child codes (>=0 wide-node id,
+      <0 cluster code as in build_packet_bvh, -1 empty), cols [8, 16) the
+      8 packed octant order words
+    - tri_f32: as build_packet_bvh
+    """
+    assert arity in (4, 8)
+    base = build_packet_bvh(mesh, bvh, max_cluster=max_cluster)
+    b_f32 = np.asarray(base.node_f32)
+    b_child = np.asarray(base.node_child)
+
+    def child_box(i, side):
+        return b_f32[i, 6 * side:6 * side + 6]
+
+    # widen: starting at a kept binary node, greedily expand the internal
+    # slot with the largest surface area until `arity` slots (or all
+    # slots are clusters)
+    def area(box):
+        d = np.maximum(box[3:6] - box[0:3], 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    from collections import deque
+
+    remap = {}
+    order = []
+    queue = deque([0])
+    rows = []
+    while queue:
+        i = queue.popleft()
+        if i in remap:
+            continue
+        remap[i] = len(order)
+        order.append(i)
+        # slots: list of (kind, binary_id_or_code, box)
+        slots = [(("node", int(b_child[i, s])) if b_child[i, s] >= 0
+                  else ("cluster", int(b_child[i, s])), child_box(i, s))
+                 for s in (0, 1)]
+        while len(slots) < arity:
+            # expand largest-area internal slot
+            best, best_a = -1, -1.0
+            for si, ((kind, c), box) in enumerate(slots):
+                if kind == "node":
+                    a = area(box)
+                    if a > best_a:
+                        best, best_a = si, a
+            if best < 0:
+                break
+            (kind, c), _ = slots.pop(best)
+            for s in (0, 1):
+                cc = int(b_child[c, s])
+                slots.insert(best + s,
+                             (("node", cc) if cc >= 0 else ("cluster", cc),
+                              child_box(c, s)))
+        for (kind, c), _ in slots:
+            if kind == "node":
+                queue.append(c)
+        rows.append(slots)
+
+    nt = len(order)
+    width = ((6 * arity + 7) // 8) * 8
+    # empty slots: a point box at +3e38 on every axis — the min/max slab
+    # test can never pass it (an "inverted" box would be re-normalized by
+    # the per-axis min/max and spuriously hit)
+    node_f32 = np.full((nt, width), 3e38, np.float32)
+    node_child = np.full((nt, 16), -1, np.int32)
+
+    oct_dirs = np.array([[1.0 if o & 4 else -1.0,
+                          1.0 if o & 2 else -1.0,
+                          1.0 if o & 1 else -1.0] for o in range(8)])
+
+    for row, slots in enumerate(rows):
+        centers = []
+        for s, ((kind, c), box) in enumerate(slots):
+            node_f32[row, 6 * s:6 * s + 6] = box
+            node_child[row, s] = remap[c] if kind == "node" else c
+            centers.append(0.5 * (box[0:3] + box[3:6]))
+        # unused slots keep the pre-filled far point boxes and code -1
+        cen = np.asarray(centers)
+        for o in range(8):
+            # ascending entry distance along the octant direction
+            proj = cen @ oct_dirs[o]
+            ordr = list(np.argsort(proj, kind="stable"))
+            ordr += [s for s in range(arity) if s >= len(slots)]
+            packed = 0
+            for pos, s in enumerate(ordr):
+                packed |= (int(s) & 15) << (4 * pos)
+            node_child[row, 8 + o] = np.int32(np.uint32(packed).view(np.int32))
+
+    return PacketBVH(
+        node_f32=jnp.asarray(node_f32),
+        node_child=jnp.asarray(node_child),
+        tri_f32=base.tri_f32,
+        num_nodes=nt,
+        num_triangles=base.num_triangles,
+        max_cluster=max_cluster,
+        arity=arity,
     )

@@ -411,6 +411,8 @@ def pallas_closest_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max=None):
         raise ValueError("BVH_PALLAS backend requires a PacketBVH (scene.pack)")
     if t_max is None:
         t_max = jnp.full((ori.shape[0],), FLT_MAX)
+    if pack.arity > 2:
+        return packet_closest_hit_wide(pack, ori, d, t_max)
     return packet_closest_hit(pack, ori, d, t_max)
 
 
@@ -418,4 +420,330 @@ def pallas_any_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max):
     pack = bvh_or_pack if isinstance(bvh_or_pack, PacketBVH) else None
     if pack is None:
         raise ValueError("BVH_PALLAS backend requires a PacketBVH (scene.pack)")
+    if pack.arity > 2:
+        return packet_any_hit_wide(pack, ori, d, t_max)
     return packet_any_hit(pack, ori, d, t_max)
+
+
+# ---------------------------------------------------------------------------
+# Wide-node kernel (v2): arity-4/8 nodes, two speculative SMEM stacks
+# (nodes + clusters) popped every iteration with straight-line masked
+# execution — no lax.cond in the loop body, so Mosaic can overlap the
+# independent node-fetch/slab/reduce and cluster-fetch/Moller-Trumbore
+# chains that the v1 kernel serialized. Child ordering comes from the
+# host-precomputed per-octant tables (pack.build_packet_bvh_wide); the
+# push decision uses ONE lane-reduce per node via an 8-bit-per-child
+# bitfield sum + scalar OR across sublanes, instead of one min-reduce per
+# child (the measured killer of the round-1 BVH4 experiment).
+# ---------------------------------------------------------------------------
+
+
+def _packet_octant(dx, dy, dz):
+    """Scalar octant of the packet from lane (0, 0) (packets share an
+    octant after the coherence sort; wrong order on stragglers only costs
+    pruning efficiency, never correctness)."""
+    ob = lambda v: (v[0, 0] >= 0.0).astype(jnp.int32)
+    return ob(dx) * 4 + ob(dy) * 2 + ob(dz)
+
+
+def _select_order_word(crow, oct_idx):
+    """crow[0, 8 + oct] via a static-extract + select chain (Mosaic has no
+    dynamic lane extract)."""
+    ordw = jnp.int32(0)
+    for o in range(8):
+        ordw = jnp.where(oct_idx == o, crow[0, 8 + o], ordw)
+    return ordw
+
+
+def _children_any_hit(hits):
+    """Packet-wide any-hit per child with two fused reduces (no per-child
+    reduce — the measured killer of the round-1 BVH4 experiment).
+
+    hits: list of (rows, 128) bool, rows <= 255. Per-lane bitfield (8 bits
+    per child, 4 children per int32 word; a per-row lane count <= 128
+    fits), sum-reduce over lanes -> (rows, 1), binarize each field, pack
+    again, sum-reduce over rows -> one scalar whose fields stay < 256.
+    Returns a list of scalar bools."""
+    out = []
+    for base in range(0, len(hits), 4):
+        group = hits[base:base + 4]
+        combined = jnp.zeros_like(group[0], dtype=jnp.int32)
+        for s, h in enumerate(group):
+            combined = combined + (h.astype(jnp.int32) << (8 * s))
+        lane = jnp.sum(combined, axis=1, keepdims=True)  # (rows, 1)
+        packed = jnp.zeros_like(lane)
+        for s in range(len(group)):
+            bit = (((lane >> (8 * s)) & 255) > 0).astype(jnp.int32)
+            packed = packed + (bit << (8 * s))
+        total = jnp.sum(packed)  # scalar; per-field count <= rows <= 255
+        out.extend((((total >> (8 * s)) & 255) > 0)
+                   for s in range(len(group)))
+    return out
+
+
+def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
+                      cstack_depth: int, any_hit: bool, tri_rows: int,
+                      arity: int, node_pops: int = 1, rows: int = SUBLANES):
+    """`rows` = 8 * group: a super-packet of group*1024 rays shares one
+    traversal stack. Vector ops on a (rows, 128) tile issue as `group`
+    back-to-back register ops with no dependency between them, so the
+    fixed per-step latency (fetch -> slab -> reduce -> scalar decide)
+    amortizes over group x the rays. The node-visit union grows
+    sub-linearly with group for sorted rays (and not at all for fully
+    incoherent ones, which visit most of the tree regardless) — measured
+    net wins at group 4-16 on v5e."""
+    A = arity
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               nodes_ref, child_ref, tri_ref, *out_refs):
+        nstack = out_refs[-2]
+        cstack = out_refs[-1]
+        outs = out_refs[:-2]
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        tm = tmax_ref[0]
+        ix = _safe_inv(dx)
+        iy = _safe_inv(dy)
+        iz = _safe_inv(dz)
+        oct_idx = _packet_octant(dx, dy, dz)
+
+        nstack[0] = jnp.int32(0)
+        zeros = jnp.zeros((rows, LANES), jnp.float32)
+        neg1 = jnp.full((rows, LANES), -1, jnp.int32)
+        max_steps = 8 * num_nodes + 8192
+
+        def pops(nsp, csp):
+            ncodes = []
+            for _ in range(node_pops):
+                has = nsp > 0
+                ncodes.append(jnp.where(
+                    has, nstack[jnp.maximum(nsp - 1, 0)], jnp.int32(-1)))
+                nsp = jnp.maximum(nsp - 1, 0)
+            chas = csp > 0
+            cval = jnp.where(chas, cstack[jnp.maximum(csp - 1, 0)],
+                             jnp.int32(0))
+            csp = jnp.maximum(csp - 1, 0)
+            return ncodes, cval, nsp, csp
+
+        def cluster_block(cval):
+            start = jnp.clip(cval // 256, 0, tri_rows - k_cluster)
+            count = cval % 256
+            return tri_ref[pl.ds(start, k_cluster), :], count
+
+        def node_children(c_node, limit):
+            """Slab-test the A children of node `c_node` against `limit`
+            (per-lane). Returns (codes, anyhits) scalars."""
+            valid = c_node >= 0
+            nid = jnp.clip(c_node, 0, num_nodes - 1)
+            row = nodes_ref[pl.ds(nid, 1), :]
+            crow = child_ref[pl.ds(nid, 1), :]
+            ordw = _select_order_word(crow, oct_idx)
+            hits = []
+            codes = []
+            for s in range(A):
+                hit_s, _ = _slab(row, 6 * s, ox, oy, oz, ix, iy, iz, limit)
+                hits.append(hit_s)
+                codes.append(crow[0, s])
+            anyh = _children_any_hit(hits)
+            anyh = [h & valid for h in anyh]
+            return codes, anyh, ordw
+
+        def push_children(codes, anyh, ordw, nsp, csp):
+            """Push hit children far-to-near per the octant order word."""
+            for pos in range(A - 1, -1, -1):
+                slot = (ordw >> (4 * pos)) & 15
+                csel = jnp.int32(-1)
+                hsel = False
+                for s in range(A):
+                    is_s = slot == s
+                    csel = jnp.where(is_s, codes[s], csel)
+                    hsel = jnp.logical_or(jnp.logical_and(is_s, anyh[s]),
+                                          hsel)
+                is_node = hsel & (csel >= 0) & (nsp < nstack_depth)
+                is_clus = hsel & (csel < 0) & (csp < cstack_depth)
+
+                @pl.when(is_node)
+                def _(csel=csel, nsp=nsp):
+                    nstack[nsp] = csel
+
+                nsp = nsp + is_node.astype(jnp.int32)
+                cpush = -(csel + 1)
+
+                @pl.when(is_clus & (cpush > 0))
+                def _(cpush=cpush, csp=csp):
+                    cstack[csp] = cpush
+
+                csp = csp + (is_clus & (cpush > 0)).astype(jnp.int32)
+            return nsp, csp
+
+        if any_hit:
+            limit0 = tm - 1e-3
+
+            def cond(c):
+                step, nsp, csp, occ = c
+                return ((nsp > 0) | (csp > 0)) & (jnp.min(occ) < 1) \
+                    & (step < max_steps)
+
+            def body(c):
+                step, nsp, csp, occ = c
+                ncodes, cval, nsp, csp = pops(nsp, csp)
+                block, count = cluster_block(cval)
+                live_limit = jnp.where(occ > 0, 0.0, limit0)
+                for j in range(k_cluster):
+                    t, u, v, hitg = _mt_scalar_tri(
+                        block, j, ox, oy, oz, dx, dy, dz)
+                    occ = jnp.maximum(
+                        occ, (hitg & (j < count)
+                              & (t < limit0)).astype(jnp.int32))
+                for c_node in ncodes:
+                    codes, anyh, ordw = node_children(c_node, live_limit)
+                    nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
+                return (step + 1, nsp, csp, occ)
+
+            occ0 = (limit0 <= 0.0).astype(jnp.int32)
+            final = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0), occ0))
+            outs[0][0, :, :] = final[3]
+        else:
+            def cond(c):
+                step, nsp, csp = c[0], c[1], c[2]
+                return ((nsp > 0) | (csp > 0)) & (step < max_steps)
+
+            def body(c):
+                step, nsp, csp, bt, btri, bu, bv = c
+                ncodes, cval, nsp, csp = pops(nsp, csp)
+                block, count = cluster_block(cval)
+                for j in range(k_cluster):
+                    t, u, v, hitg = _mt_scalar_tri(
+                        block, j, ox, oy, oz, dx, dy, dz)
+                    hit = hitg & (j < count) & (t < bt)
+                    tri_id = block[j, 9].astype(jnp.int32)
+                    bt = jnp.where(hit, t, bt)
+                    btri = jnp.where(hit, tri_id, btri)
+                    bu = jnp.where(hit, u, bu)
+                    bv = jnp.where(hit, v, bv)
+                for c_node in ncodes:
+                    codes, anyh, ordw = node_children(c_node, bt)
+                    nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
+                return (step + 1, nsp, csp, bt, btri, bu, bv)
+
+            init = (jnp.int32(0), jnp.int32(1), jnp.int32(0),
+                    jnp.minimum(tm, _INF), neg1, zeros, zeros)
+            final = jax.lax.while_loop(cond, body, init)
+            outs[0][0, :, :] = final[3]
+            outs[1][0, :, :] = final[4]
+            outs[2][0, :, :] = final[5]
+            outs[3][0, :, :] = final[6]
+
+    return kernel
+
+
+# knobs for the wide kernel (swept on hardware; see benchmarks/traversal.py)
+NODE_POPS = 1
+GROUP = 8  # super-packet = GROUP * 1024 rays per shared stack
+CSTACK_DEPTH = 160
+
+
+def _tile_rays_grouped(ori: Vec3, d: Vec3, t_max: jnp.ndarray, group: int):
+    """Pad + reshape rays to (nt, group*8, 128) super-packet tiles
+    (padded rays carry t_max=0; a fully-padded super-packet exits after
+    one root test)."""
+    n = ori.shape[0]
+    rows = SUBLANES * group
+    n_pad = -(-n // (PACKET * group)) * PACKET * group
+    nt = n_pad // (PACKET * group)
+
+    def pad3(v):
+        return jnp.pad(v, (0, n_pad - n)).reshape(nt, rows, LANES)
+
+    return (
+        pad3(ori.x), pad3(ori.y), pad3(ori.z),
+        pad3(d.x), pad3(d.y), pad3(d.z),
+        jnp.pad(t_max, (0, n_pad - n)).reshape(nt, rows, LANES),
+        nt, n,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stack_depth", "node_pops", "group"))
+def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
+                            t_max: jnp.ndarray, stack_depth: int = 64,
+                            node_pops: int = NODE_POPS,
+                            group: int = GROUP) -> HitRecord:
+    rows = SUBLANES * group
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
+                                                           group)
+    kernel = _make_kernel_wide(
+        pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
+        any_hit=False, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
+        node_pops=node_pops, rows=rows)
+    ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
+    ]
+    bt, btri, bu, bv = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[ray_spec] * 7 + [tab_spec] * 3,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32),
+                        pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(ox, oy, oz, dx, dy, dz, tm, pack.node_f32, pack.node_child, pack.tri_f32)
+
+    flat = lambda a: a.reshape(-1)[:n]
+    bt = flat(bt)
+    btri = flat(btri)
+    return HitRecord(
+        t=jnp.where(btri >= 0, bt, FLT_MAX),
+        tri=btri,
+        u=flat(bu),
+        v=flat(bv),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stack_depth", "node_pops", "group"))
+def packet_any_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
+                        t_max: jnp.ndarray, stack_depth: int = 64,
+                        node_pops: int = NODE_POPS,
+                        group: int = GROUP) -> jnp.ndarray:
+    rows = SUBLANES * group
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
+                                                           group)
+    kernel = _make_kernel_wide(
+        pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
+        any_hit=True, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
+        node_pops=node_pops, rows=rows)
+    ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[ray_spec] * 7 + [tab_spec] * 3,
+        out_specs=[ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32),
+                        pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(ox, oy, oz, dx, dy, dz, tm, pack.node_f32, pack.node_child, pack.tri_f32)[0]
+    return occ.reshape(-1)[:n].astype(bool)

@@ -1,16 +1,17 @@
-"""Bounce-ray coherence sorting.
+"""Bounce-ray coherence keys.
 
 Secondary-bounce rays scatter in direction, and packet traversal
 (bvh/pallas_traverse.py) degrades ~20x when the 1024 rays of a packet
-disagree about where to go (measured: 8.5 Mrays/s coherent vs 0.37
-incoherent at 143k tris on v5e). Before traversal we therefore sort rays
-by a (origin-cell morton, direction octant) key so each packet sees rays
-from one locale heading one way — the TPU-native replacement for the
-reference's thrust material sort (which optimizes shading divergence; here
-the scarce resource is traversal coherence).
-
-Cost: one lax.sort + ~10 full-lane gathers per bounce (~0.2-0.3 s at 2M
-rays) against multi-second traversal savings on large scenes.
+disagree about where to go. The wavefront integrator therefore keeps the
+whole path pool physically sorted by a (origin-cell morton, direction
+octant) key (wavefront._sort_pool): one multi-operand lax.sort per bounce
+moves ALL path state (measured ~2.6 ms per extra 2M-lane operand vs
+~30 ms per 2M gather — sorting payloads is 10x cheaper than gathering
+them), and dead lanes get the max key so live paths compact into dense
+packets for free. This is the TPU-native replacement for the reference's
+thrust material sort + warp-aggregated queue compaction
+(/root/reference/src/pathtrace_wavefront.cu:314-334) — here the scarce
+resource is traversal coherence, not shading coherence.
 """
 
 from __future__ import annotations
@@ -75,29 +76,3 @@ def world_bounds(mesh) -> Tuple[Vec3, Vec3]:
                1.0 / jnp.maximum(hi.y - lo.y, 1e-6),
                1.0 / jnp.maximum(hi.z - lo.z, 1e-6))
     return lo, inv
-
-
-def sorted_closest_hit(raycaster, ori: Vec3, d: Vec3, t_max, world_lo,
-                       world_inv):
-    """closest_hit with coherence-sorted rays; results in original order."""
-    key = coherence_key(ori, d, world_lo, world_inv)
-    perm, inv = sort_permutation(key)
-    hit = raycaster.closest_hit(
-        gather_vec3(ori, perm), gather_vec3(d, perm),
-        None if t_max is None else jnp.take(t_max, perm))
-    from .intersect import HitRecord
-
-    return HitRecord(
-        t=jnp.take(hit.t, inv),
-        tri=jnp.take(hit.tri, inv),
-        u=jnp.take(hit.u, inv),
-        v=jnp.take(hit.v, inv),
-    )
-
-
-def sorted_any_hit(raycaster, ori: Vec3, d: Vec3, t_max, world_lo, world_inv):
-    key = coherence_key(ori, d, world_lo, world_inv)
-    perm, inv = sort_permutation(key)
-    occ = raycaster.any_hit(gather_vec3(ori, perm), gather_vec3(d, perm),
-                            jnp.take(t_max, perm))
-    return jnp.take(occ, inv)

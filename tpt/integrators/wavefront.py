@@ -90,6 +90,51 @@ class FrameOutput:
     rays_traced: jnp.ndarray  # scalar int32 (extension+shadow), for MRays/s
 
 
+def _sort_pool(scene, carry_slice, first):
+    """Physically re-sort the live path pool by ray-coherence key.
+
+    TPU rationale (measured, BENCHMARKS.md §6): a multi-operand lax.sort
+    costs ~2.6 ms per extra 2M payload operand on top of the ~80 ms base,
+    while a single 2M random gather costs ~30 ms — so the whole path
+    state rides ONE sort per bounce and nothing is ever gathered. Dead
+    lanes get the max key, which compacts live paths into dense packets
+    (the reference's queue compaction, as a by-product of the coherence
+    sort). Skipped on the first bounce: camera rays are raster-coherent
+    and the G-buffers must be written in pixel order."""
+    from . import raysort
+
+    world_lo, world_inv = raysort.world_bounds(scene.mesh)
+
+    def do_sort(args):
+        (ori, direction, throughput, last_pdf, state, alive, direct,
+         indirect, pixel_idx) = args
+        key = raysort.coherence_key(ori, direction, world_lo, world_inv)
+        key = jnp.where(alive, key, jnp.int32(1 << 30))
+        (_, ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, st, al,
+         drx, dry, drz, inx, iny, inz, pidx) = jax.lax.sort(
+            (key, ori.x, ori.y, ori.z,
+             direction.x, direction.y, direction.z,
+             throughput.x, throughput.y, throughput.z,
+             last_pdf, state, alive.astype(jnp.int32),
+             direct.x, direct.y, direct.z,
+             indirect.x, indirect.y, indirect.z, pixel_idx),
+            num_keys=1)
+        return (Vec3(ox, oy, oz), Vec3(dx, dy, dz), Vec3(tx, ty, tz),
+                lp, st, al != 0, Vec3(drx, dry, drz), Vec3(inx, iny, inz),
+                pidx)
+
+    return jax.lax.cond(first, lambda a: a, do_sort, carry_slice)
+
+
+def unsort_by_pixel(pixel_idx, direct: Vec3, indirect: Vec3):
+    """Restore pixel order once per frame (pixel_idx is a permutation, so
+    sorting by it is the exact inverse of the per-bounce coherence sorts)."""
+    (_, dx, dy, dz, ix, iy, iz) = jax.lax.sort(
+        (pixel_idx, direct.x, direct.y, direct.z,
+         indirect.x, indirect.y, indirect.z), num_keys=1)
+    return Vec3(dx, dy, dz), Vec3(ix, iy, iz)
+
+
 def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                  cfg: RenderConfig, view_proj, prev_view_proj, depth, carry):
     """One wavefront bounce over the full path pool (shared by the fused
@@ -102,25 +147,24 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
     from ..config import RayCastBackend
 
     do_sort = cfg.sort_bounce_rays and cfg.backend == RayCastBackend.BVH_PALLAS
-    if do_sort:
-        from . import raysort
-
-        world_lo, world_inv = raysort.world_bounds(scene.mesh)
 
     if True:  # keep original indentation of the bounce body
         (ori, direction, throughput, last_pdf, state, alive,
-         direct, indirect, gbuf, rays) = carry
+         direct, indirect, pixel_idx, gbuf, rays) = carry
         n = ori.shape[0]
         first = depth == 0
 
+        if do_sort:
+            (ori, direction, throughput, last_pdf, state, alive, direct,
+             indirect, pixel_idx) = _sort_pool(
+                scene, (ori, direction, throughput, last_pdf, state, alive,
+                        direct, indirect, pixel_idx), first)
+
         # ---- TraceExtensionRay stage -------------------------------------
         # dead lanes get t_max=0 so their packets fail the root test
+        # (post-sort they are densely packed at the pool tail)
         ext_tmax = jnp.where(alive, 3.4e38, 0.0)
-        if do_sort:
-            hit = raysort.sorted_closest_hit(
-                raycaster, ori, direction, ext_tmax, world_lo, world_inv)
-        else:
-            hit = raycaster.closest_hit(ori, direction, ext_tmax)
+        hit = raycaster.closest_hit(ori, direction, ext_tmax)
         rays = rays + jnp.sum(alive.astype(jnp.int32))
 
         # ---- Logic stage ----------------------------------------------------
@@ -204,13 +248,11 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             nee_mask = (alive & front & ~is_delta & (cos_surf > 0.0)
                         & (cos_l > 0.0) & (contrib.length_sq() > 0.0))
             # ---- TraceShadowRay stage --------------------------------------
+            # shadow lanes inherit the extension sort's coherence: origins
+            # are the (cell-sorted) hit points, so no second sort is needed
             shadow_ori = point + ng * EPSILON
             shadow_t = jnp.where(nee_mask, dist, 0.0)  # dead shadow lanes
-            if do_sort:
-                occluded = raysort.sorted_any_hit(
-                    raycaster, shadow_ori, wi_l, shadow_t, world_lo, world_inv)
-            else:
-                occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
+            occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
             rays = rays + jnp.sum(nee_mask.astype(jnp.int32))
             direct = direct + vwhere(nee_mask & ~occluded, contrib,
                                      Vec3.zeros((n,)))
@@ -257,7 +299,7 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             cfg, depth, throughput, alive, state)
 
         return (ori, direction, throughput, last_pdf, state, alive,
-                direct, indirect, gbuf, rays)
+                direct, indirect, pixel_idx, gbuf, rays)
 
 
 def trace_frame(scene: SceneData, raycaster: Raycaster, cam: Camera,
@@ -269,16 +311,32 @@ def trace_frame(scene: SceneData, raycaster: Raycaster, cam: Camera,
     n = cam.num_pixels
     ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
 
-    carry = (ori, direction, Vec3.ones((n,)), jnp.zeros((n,)), state,
-             jnp.ones((n,), bool), Vec3.zeros((n,)), Vec3.zeros((n,)),
-             GBuffers.zeros(n), jnp.zeros((), jnp.int32))
+    carry = init_carry(cfg, ori, direction, state)
     carry = jax.lax.fori_loop(
         0, cfg.trace_depth,
         lambda depth, c: _bounce_body(scene, raycaster, cam, cfg, view_proj,
                                       prev_view_proj, depth, c),
         carry)
-    direct, indirect, gbuf, rays = carry[6], carry[7], carry[8], carry[9]
+    return finish_carry(cfg, carry)
 
+
+def init_carry(cfg: RenderConfig, ori: Vec3, direction: Vec3, state):
+    n = ori.shape[0]
+    return (ori, direction, Vec3.ones((n,)), jnp.zeros((n,)), state,
+            jnp.ones((n,), bool), Vec3.zeros((n,)), Vec3.zeros((n,)),
+            jnp.arange(n, dtype=jnp.int32), GBuffers.zeros(n),
+            jnp.zeros((), jnp.int32))
+
+
+def finish_carry(cfg: RenderConfig, carry) -> FrameOutput:
+    """Unsort radiance back to pixel order (when the pool was coherence-
+    sorted) and NaN-guard — the end-of-frame accumulation step."""
+    from ..config import RayCastBackend
+
+    direct, indirect, pixel_idx, gbuf, rays = (
+        carry[6], carry[7], carry[8], carry[9], carry[10])
+    if cfg.sort_bounce_rays and cfg.backend == RayCastBackend.BVH_PALLAS:
+        direct, indirect = unsort_by_pixel(pixel_idx, direct, indirect)
     nan_guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
     return FrameOutput(direct=nan_guard(direct), indirect=nan_guard(indirect),
                        gbuf=gbuf, rays_traced=rays)
@@ -322,18 +380,13 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
     @jax.jit
     def start(iteration):
         ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
-        return (ori, direction, Vec3.ones((n,)), jnp.zeros((n,)), state,
-                jnp.ones((n,), bool), Vec3.zeros((n,)), Vec3.zeros((n,)),
-                GBuffers.zeros(n), jnp.zeros((), jnp.int32))
+        return init_carry(cfg, ori, direction, state)
 
     bounce_fn = _make_bounce_fn(scene, raycaster, cam, cfg, vp)
 
     @jax.jit
     def finish(carry, acc_direct, acc_indirect):
-        direct, indirect, gbuf, rays = carry[6], carry[7], carry[8], carry[9]
-        guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
-        out = FrameOutput(direct=guard(direct), indirect=guard(indirect),
-                          gbuf=gbuf, rays_traced=rays)
+        out = finish_carry(cfg, carry)
         return out, acc_direct + out.direct, acc_indirect + out.indirect
 
     def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):

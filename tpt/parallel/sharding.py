@@ -88,21 +88,19 @@ def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
     scene_repl = replicate(mesh, scene)
 
     def bounce_loop(prev_vp, ori, direction, state):
-        """Per-device: full bounce loop over this device's path shard."""
-        nloc = ori.shape[0]
-        carry = (ori, direction, Vec3.ones((nloc,)), jnp.zeros((nloc,)),
-                 state, jnp.ones((nloc,), bool), Vec3.zeros((nloc,)),
-                 Vec3.zeros((nloc,)), wavefront.GBuffers.zeros(nloc),
-                 jnp.zeros((), jnp.int32))
+        """Per-device: full bounce loop over this device's path shard.
+        The per-bounce coherence sort and the end-of-frame unsort are
+        shard-local (pixel_idx is shard-local; shards hold contiguous
+        pixel ranges, so local pixel order == global pixel order)."""
+        carry = wavefront.init_carry(cfg, ori, direction, state)
         carry = jax.lax.fori_loop(
             0, cfg.trace_depth,
             lambda depth, c: wavefront._bounce_body(
                 scene_repl, raycaster, cam, cfg, vp, prev_vp, depth, c),
             carry)
-        direct, indirect, gbuf, rays = carry[6], carry[7], carry[8], carry[9]
-        guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
-        return (guard(direct), guard(indirect), gbuf,
-                jax.lax.psum(rays, axis))
+        out = wavefront.finish_carry(cfg, carry)
+        return (out.direct, out.indirect, out.gbuf,
+                jax.lax.psum(out.rays_traced, axis))
 
     if use_shard_map:
         sharded_bounces = jax.shard_map(
