@@ -182,3 +182,43 @@ class TestSAH:
         c_sah = float(np.asarray(traversal_cost(cluttered_mesh, sah, ori, d)).mean())
         c_lb = float(np.asarray(traversal_cost(cluttered_mesh, lb, ori, d)).mean())
         assert c_sah <= c_lb * 1.05  # SAH never materially worse
+
+
+class TestWideKernelStackPressure:
+    def test_many_cluster_scene_matches_brute_force(self):
+        """Regression: a scene with more clusters than the cluster-stack
+        capacity must not silently drop intersections (the pop throttle
+        drains the stack instead — round-2 bug: 276 clusters vs a
+        160-entry stack lost ~9% of pixels)."""
+        import jax.numpy as jnp
+
+        from tpt.bvh.pallas_traverse import (packet_any_hit_wide,
+                                             packet_closest_hit_wide)
+        from tpt.core.vec import Vec3
+        from tpt.integrators.intersect import (FLT_MAX,
+                                               brute_force_any_hit,
+                                               brute_force_closest_hit)
+        from tpt.scene import procedural
+
+        host = procedural.cornell_box(resolution=(8, 8), spheres=True)
+        data = host.build(with_bvh=True, max_cluster=8)  # ~550 clusters
+        mesh = data.mesh
+        rng = np.random.default_rng(11)
+        n = 4096
+        o = Vec3(jnp.asarray(rng.uniform(-4, 4, n).astype(np.float32)),
+                 jnp.asarray(rng.uniform(0.5, 9.5, n).astype(np.float32)),
+                 jnp.asarray(rng.uniform(-4, 4, n).astype(np.float32)))
+        dd = rng.normal(size=(3, n)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=0)
+        d = Vec3(*[jnp.asarray(c) for c in dd])
+        tmax = jnp.full((n,), FLT_MAX)
+
+        ref = brute_force_closest_hit(mesh, o, d, tmax)
+        hit = packet_closest_hit_wide(data.pack, o, d, tmax)
+        np.testing.assert_allclose(np.asarray(hit.t), np.asarray(ref.t),
+                                   rtol=1e-4, atol=1e-4)
+
+        t_short = jnp.full((n,), 3.0)
+        ref_occ = brute_force_any_hit(mesh, o, d, t_short)
+        occ = packet_any_hit_wide(data.pack, o, d, t_short)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref_occ))

@@ -244,3 +244,50 @@ class TestEngineMegakernel:
         r2 = Renderer(scene.build(), scene.camera, cfg)
         r2.load_checkpoint(path)
         np.testing.assert_allclose(r2.frame(), r.frame(), atol=1e-6)
+
+
+class TestPallasReprojection:
+    def test_matches_xla_for_smooth_motion(self):
+        """The Pallas shift-select reprojection must equal the XLA gather
+        formulation for smooth in-range motion fields (its documented
+        exactness domain)."""
+        import jax.numpy as jnp
+
+        from tpt.core.vec import Vec3
+        from tpt.denoise.pallas_reproject import DATA_KEYS, reproject_pallas
+        from tpt.denoise.svgf import SVGFState, _reproject_taps
+
+        rng = np.random.default_rng(5)
+        h, w = 40, 72
+
+        def plane(scale=1.0):
+            return jnp.asarray(rng.uniform(0, scale, (h, w)).astype(np.float32))
+
+        nrm = rng.normal(size=(3, h, w)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=0, keepdims=True)
+        prev_n = Vec3(*[jnp.asarray(c) for c in nrm])
+        state = SVGFState(
+            hist_direct=Vec3(plane(), plane(), plane()),
+            hist_direct_var=plane(),
+            hist_indirect=Vec3(plane(), plane(), plane()),
+            hist_indirect_var=plane(),
+            m1_dir=plane(), m1_ind=plane(), m2_dir=plane(), m2_ind=plane(),
+            history_len=jnp.asarray(rng.integers(0, 9, (h, w)).astype(np.int32)),
+            prev_depth=plane(50.0), prev_normal=prev_n,
+            prev_matid=jnp.asarray(rng.integers(0, 3, (h, w)).astype(np.int32)))
+        depth = state.prev_depth + plane(3.0)
+        # smooth motion: global pan + slow spatial ramp (camera-like)
+        ys = np.linspace(0, 1, h)[:, None]
+        xs = np.linspace(0, 1, w)[None, :]
+        mu = jnp.asarray((5.0 + 3.0 * xs + 0.5 * ys).astype(np.float32))
+        mv = jnp.asarray((-4.0 + 2.0 * ys - 0.5 * xs).astype(np.float32))
+
+        sums_x, wsum_x = _reproject_taps(state, mu, mv, prev_n, depth,
+                                         state.prev_matid)
+        sums_p, wsum_p = reproject_pallas(state, mu, mv, prev_n, depth,
+                                          state.prev_matid, radius=24)
+        np.testing.assert_allclose(np.asarray(wsum_p), np.asarray(wsum_x),
+                                   atol=1e-6)
+        for k in DATA_KEYS:
+            np.testing.assert_allclose(np.asarray(sums_p[k]),
+                                       np.asarray(sums_x[k]), atol=1e-5)

@@ -516,13 +516,19 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
         neg1 = jnp.full((rows, LANES), -1, jnp.int32)
         max_steps = 8 * num_nodes + 8192
 
+        # when the cluster stack could overflow on this iteration's pushes,
+        # skip node pops so the cluster stack drains (1 pop/iteration) —
+        # a dropped push would silently lose intersections
+        cmargin = cstack_depth - node_pops * A - 1
+
         def pops(nsp, csp):
+            allow_nodes = csp < cmargin
             ncodes = []
             for _ in range(node_pops):
-                has = nsp > 0
+                has = (nsp > 0) & allow_nodes
                 ncodes.append(jnp.where(
                     has, nstack[jnp.maximum(nsp - 1, 0)], jnp.int32(-1)))
-                nsp = jnp.maximum(nsp - 1, 0)
+                nsp = jnp.where(has, nsp - 1, nsp)
             chas = csp > 0
             cval = jnp.where(chas, cstack[jnp.maximum(csp - 1, 0)],
                              jnp.int32(0))
@@ -642,10 +648,14 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
     return kernel
 
 
-# knobs for the wide kernel (swept on hardware; see benchmarks/traversal.py)
-NODE_POPS = 1
+# knobs for the wide kernel (swept on hardware; see benchmarks/traversal.py:
+# arity8/K16/pops2/group8 measured best on incoherent ray populations).
+# Stack bounds: nstack holds a DFS frontier <= (arity-1) * tree levels +
+# pops; cstack is drained-before-overflow by the pop throttle.
+NODE_POPS = 2
 GROUP = 8  # super-packet = GROUP * 1024 rays per shared stack
-CSTACK_DEPTH = 160
+NSTACK_DEPTH = 192
+CSTACK_DEPTH = 256
 
 
 def _tile_rays_grouped(ori: Vec3, d: Vec3, t_max: jnp.ndarray, group: int):
@@ -671,7 +681,7 @@ def _tile_rays_grouped(ori: Vec3, d: Vec3, t_max: jnp.ndarray, group: int):
 @functools.partial(jax.jit,
                    static_argnames=("stack_depth", "node_pops", "group"))
 def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
-                            t_max: jnp.ndarray, stack_depth: int = 64,
+                            t_max: jnp.ndarray, stack_depth: int = NSTACK_DEPTH,
                             node_pops: int = NODE_POPS,
                             group: int = GROUP) -> HitRecord:
     rows = SUBLANES * group
@@ -719,7 +729,7 @@ def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
 @functools.partial(jax.jit,
                    static_argnames=("stack_depth", "node_pops", "group"))
 def packet_any_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
-                        t_max: jnp.ndarray, stack_depth: int = 64,
+                        t_max: jnp.ndarray, stack_depth: int = NSTACK_DEPTH,
                         node_pops: int = NODE_POPS,
                         group: int = GROUP) -> jnp.ndarray:
     rows = SUBLANES * group

@@ -45,6 +45,12 @@ class SVGFConfig:
     # Pallas band-stencil a-trous (denoise/pallas_stencil.py) instead of the
     # XLA pad+slice formulation; bitwise-equivalent (tests), HBM-optimal
     use_pallas_atrous: bool = True
+    # Pallas temporal reprojection (denoise/pallas_reproject.py): replaces
+    # the 4 packed row-gathers (~370 ms at 1080p) with dense shift-selects;
+    # motion beyond reproject_radius px falls back to the spatial-variance
+    # path (identical to XLA for in-range motion — tests)
+    use_pallas_reproject: bool = True
+    reproject_radius: int = 24
 
 
 @dataclass(frozen=True)
@@ -74,6 +80,10 @@ class RenderConfig:
     # synthetic shading cost for the megakernel-vs-wavefront stress study
     # (reference keeps it as commented code — interactions.cu:255-321)
     heavy_shading_iters: int = 0
+    # megakernel pixel-tile size per dispatch: one fused whole-path program
+    # per tile keeps each TPU program under the device watchdog at
+    # benchmark scale (one 2M-path program was killed — BENCHMARKS.md §2)
+    megakernel_tile: int = 1 << 18
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

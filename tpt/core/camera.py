@@ -79,8 +79,10 @@ class Camera:
         )
 
 
-def generate_camera_rays(cam: Camera, iteration: jnp.ndarray, jitter: bool = True):
-    """Primary rays for every pixel.
+def generate_camera_rays(cam: Camera, iteration: jnp.ndarray,
+                         jitter: bool = True, pix=None):
+    """Primary rays for every pixel (or for the given pixel-index array —
+    used by the megakernel's tiled dispatch).
 
     Returns (origin: Vec3[N], direction: Vec3[N], rng_state: uint32[N]) with
     N = W*H, pixel index = y*W + x. The jitter is derived by re-hashing the
@@ -89,7 +91,11 @@ def generate_camera_rays(cam: Camera, iteration: jnp.ndarray, jitter: bool = Tru
     """
     w, h = cam.resolution
     n = w * h
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.uint32)
+    else:
+        pix = pix.astype(jnp.uint32)
+        n = pix.shape[0]
     x = (pix % jnp.uint32(w)).astype(jnp.float32)
     y = (pix // jnp.uint32(w)).astype(jnp.float32)
 

@@ -320,7 +320,15 @@ def run_svgf(cfg: SVGFConfig, state: SVGFState,
     m1d_c, m1i_c = lum_d, lum_i
     m2d_c, m2i_c = lum_d * lum_d, lum_i * lum_i
 
-    sums, wsum = _reproject_taps(state, motion_u, motion_v, normal, depth, matid)
+    if cfg.use_pallas_reproject:
+        from .pallas_reproject import reproject_pallas
+
+        sums, wsum = reproject_pallas(state, motion_u, motion_v, normal,
+                                      depth, matid,
+                                      radius=cfg.reproject_radius)
+    else:
+        sums, wsum = _reproject_taps(state, motion_u, motion_v, normal,
+                                     depth, matid)
     valid = (wsum > 1e-4) & ~sky
     inv_w = 1.0 / jnp.maximum(wsum, 1e-8)
 

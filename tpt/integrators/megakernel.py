@@ -36,10 +36,12 @@ from .intersect import FLT_MAX
 
 
 def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
-                 cfg: RenderConfig, iteration: jnp.ndarray) -> Vec3:
-    """One sample per pixel; returns radiance Vec3 of shape [W*H]."""
-    n = cam.num_pixels
-    ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
+                 cfg: RenderConfig, iteration: jnp.ndarray,
+                 pix=None) -> Vec3:
+    """One sample per pixel (or per `pix` tile); returns radiance Vec3."""
+    ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter,
+                                                 pix=pix)
+    n = ori.shape[0]
 
     radiance = Vec3.zeros((n,))
     throughput = Vec3.ones((n,))
@@ -178,12 +180,46 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
 
 def make_sample_fn(scene: SceneData, cam: Camera, cfg: RenderConfig):
-    """Returns jitted fn(iteration, accum_rgb[N,3]) -> accum + one sample."""
+    """Returns fn(iteration, accum[N]) -> accum + one sample.
+
+    The pixel pool is dispatched in tiles of cfg.megakernel_tile paths:
+    one fused whole-path program per tile instead of one per frame. A
+    single 2M-path deep-bounce program over a large scene exceeds the TPU
+    per-program watchdog (BENCHMARKS.md §2, round 1); tiling keeps every
+    dispatch a few seconds while preserving the megakernel shape (control
+    crosses host<->device once per tile, state lives in registers/VMEM for
+    the whole path — the capability of /root/reference/src/pathtrace.cu:
+    645-706). Tiles are raster-contiguous, so primary packets stay
+    coherent."""
     raycaster = make_raycaster(scene, cfg)
+    n = cam.num_pixels
+    tile = min(cfg.megakernel_tile, n)
+    n_tiles = -(-n // tile)
+
+    if n_tiles == 1:
+        @jax.jit
+        def step(iteration, accum: Vec3) -> Vec3:
+            return accum + trace_sample(scene, raycaster, cam, cfg, iteration)
+
+        return step
 
     @jax.jit
+    def tile_sample(iteration, pix) -> Vec3:
+        # out-of-range tail pixels clip to n-1; their radiance is dropped
+        return trace_sample(scene, raycaster, cam, cfg, iteration,
+                            pix=jnp.minimum(pix, n - 1))
+
     def step(iteration, accum: Vec3) -> Vec3:
-        return accum + trace_sample(scene, raycaster, cam, cfg, iteration)
+        parts = []
+        for t in range(n_tiles):
+            pix = jnp.arange(t * tile, (t + 1) * tile, dtype=jnp.uint32)
+            parts.append(tile_sample(iteration, pix))
+        full = Vec3(
+            jnp.concatenate([p.x for p in parts])[:n],
+            jnp.concatenate([p.y for p in parts])[:n],
+            jnp.concatenate([p.z for p in parts])[:n],
+        )
+        return accum + full
 
     return step
 

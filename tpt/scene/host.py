@@ -58,12 +58,15 @@ class HostScene:
         return np.array([m.emittance for m in self.materials] or [0.0], np.float32)
 
     def build(self, with_bvh: bool = False, bvh_builder: str = "auto",
-              max_cluster: int = 32) -> SceneData:
+              max_cluster: int = 16, packet_arity: int = 8) -> SceneData:
         """Upload everything to device pytrees; optionally build the BVH.
 
         bvh_builder: "sah" (native C++ binned SAH — better traversal),
         "lbvh" (on-device morton/Karras build), or "auto" (SAH when the
-        native library is available)."""
+        native library is available). packet_arity 4/8 selects the
+        wide-node packet layout (the measured sweet spot is arity 8 with
+        16-triangle clusters — benchmarks/traversal.py); 2 keeps the
+        binary packet layout."""
         mats = self.materials or [HostMaterial()]
         table = MaterialTable(
             basecolor=Vec3.from_stacked(
@@ -87,7 +90,7 @@ class HostScene:
         bvh = None
         pack = None
         if with_bvh:
-            from ..bvh.pack import build_packet_bvh
+            from ..bvh.pack import build_packet_bvh, build_packet_bvh_wide
 
             builder = bvh_builder
             if builder == "auto":
@@ -102,6 +105,11 @@ class HostScene:
                 from ..bvh.build import build_lbvh
 
                 bvh = build_lbvh(mesh)
-            pack = build_packet_bvh(mesh, bvh, max_cluster=max_cluster)
+            if packet_arity > 2:
+                pack = build_packet_bvh_wide(mesh, bvh,
+                                             max_cluster=max_cluster,
+                                             arity=packet_arity)
+            else:
+                pack = build_packet_bvh(mesh, bvh, max_cluster=max_cluster)
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
                          env=env, bvh=bvh, pack=pack)
