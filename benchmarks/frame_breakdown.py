@@ -43,7 +43,7 @@ def main():
     bounce = wavefront._make_bounce_fn(scene, raycaster, cam, cfg, vp)
 
     sort_only = jax.jit(lambda c: wavefront._sort_pool(
-        scene, (c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]),
+        scene, cfg, (c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]),
         jnp.bool_(False)))
     ext_only = jax.jit(lambda ori, d, alive: raycaster.closest_hit(
         ori, d, jnp.where(alive, 3.4e38, 0.0)))
@@ -54,7 +54,7 @@ def main():
     # warmup/compile every dispatch shape
     carry = start(jnp.uint32(1))
     force(carry)
-    c1 = bounce(jnp.int32(0), vp, carry)
+    c1, _ = bounce(jnp.int32(0), vp, carry)
     force(c1)
     force(sort_only(c1))
     force(ext_only(c1[0], c1[1], c1[5]))
@@ -75,7 +75,7 @@ def main():
 
         alive_frac = float(jnp.mean(carry[5].astype(jnp.float32)))
         t0 = time.time()
-        carry = bounce(jnp.int32(d), vp, carry)
+        carry, _ = bounce(jnp.int32(d), vp, carry)
         force(carry)
         t_bounce = time.time() - t0
         rays = int(carry[10])

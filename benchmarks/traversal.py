@@ -63,16 +63,36 @@ def main():
 
     world_lo, world_inv = raysort.world_bounds(mesh)
 
-    def sort_rays(o, d):
-        key = raysort.coherence_key(o, d, world_lo, world_inv)
+    def sort_rays(o, d, mode):
+        key = raysort.coherence_key(o, d, world_lo, world_inv, mode=mode)
         perm, _ = raysort.sort_permutation(key)
         return o.take(perm), d.take(perm)
 
-    ori_rs, dir_rs = jax.jit(sort_rays)(ori_r, dir_r)
+    # real first-bounce rays: trace primaries, cosine-sample around normals
+    from tpt.bvh.pallas_traverse import packet_closest_hit_wide as _pch
+    from tpt.bvh.pack import build_packet_bvh_wide as _bw
+    from tpt.core import rng as rngmod
+    from tpt.integrators.common import oriented_geom_normal
+    from tpt.materials.bsdf import cosine_weighted_dir
+
+    pack0 = _bw(mesh, bvh, max_cluster=16, arity=8)
+    hit0 = _pch(pack0, ori_p, dir_p, tmax)
+    pt = ori_p + dir_p * jnp.minimum(hit0.t, 1e4)
+    ngb = oriented_geom_normal(mesh, hit0.tri, -1.0 * dir_p)
+    st = jnp.arange(nn, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    st, u1 = rngmod.rand_float(st)
+    st, u2 = rngmod.rand_float(st)
+    dir_b1 = cosine_weighted_dir(ngb, u1, u2)
+    ori_b1 = pt + ngb * 1e-3
 
     pops = {
         "primary": (ori_p, dir_p),
-        "sorted_random": (ori_rs, dir_rs),
+        "bounce1_cell": jax.jit(sort_rays, static_argnames="mode")(
+            ori_b1, dir_b1, "cell_major"),
+        "bounce1_dir": jax.jit(sort_rays, static_argnames="mode")(
+            ori_b1, dir_b1, "dir_major"),
+        "sorted_random": jax.jit(sort_rays, static_argnames="mode")(
+            ori_r, dir_r, "dir_major"),
         "random": (ori_r, dir_r),
     }
 
@@ -93,10 +113,11 @@ def main():
         else:
             arity, k, np_ = int(parts[0]), int(parts[1]), int(parts[2])
             grp = int(parts[3]) if len(parts) > 3 else 1
+            cp = int(parts[4]) if len(parts) > 4 else 1
             pack = build_packet_bvh_wide(mesh, bvh, max_cluster=k,
                                          arity=arity)
             fn = lambda o, d, t: packet_closest_hit_wide(
-                pack, o, d, t, node_pops=np_, group=grp)
+                pack, o, d, t, node_pops=np_, group=grp, cluster_pops=cp)
         for pop_name, (o, d) in pops.items():
             t0 = time.time()
             mrays = bench(fn, o, d)

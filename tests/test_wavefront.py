@@ -112,3 +112,17 @@ class TestRaySorting:
             iterations=1)
         close = np.isclose(img_p, img_x, atol=5e-3).mean()
         assert close > 0.99, close
+
+    def test_adaptive_pool_matches_fixed(self, monkeypatch):
+        """Pool shrinking (per-bounce alive-count readback + prefix-variant
+        dispatch) must not change any pixel — the sliced-off tail is
+        all-dead with final radiance."""
+        monkeypatch.setattr(wavefront, "MIN_POOL", 1024)
+        scene = procedural.cornell_box(resolution=(96, 96), spheres=True)
+        data = scene.build(with_bvh=True)
+        base = RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=5)
+        a = wavefront.render(data, scene.camera,
+                             base.with_(adaptive_pool=True), iterations=2)
+        b = wavefront.render(data, scene.camera,
+                             base.with_(adaptive_pool=False), iterations=2)
+        np.testing.assert_array_equal(a, b)

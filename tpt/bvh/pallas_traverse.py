@@ -11,8 +11,9 @@ Design (from measured v5e behavior, not translated from CUDA):
 - Leaves are clusters of <= K morton-contiguous triangles (bvh/pack.py):
   one contiguous (K, 16) slice fetches the whole cluster; Moller-Trumbore
   runs K times over all lanes with static unrolling.
-- Dead lanes carry best_t = t_max <= 0, so fully-dead packets fail the
-  root AABB test and exit after one step — per-bounce "compaction" without
+- Dead lanes carry t_max = -1, so fully-dead packets fail the root
+  AABB test and exit after one step (0 would still pass for boxes that
+  contain the stale origin: tn = tf = 0) — per-bounce "compaction" without
   moving any data.
 - Measured step costs: internal-node step ~370 ns (dominated by VPU box
   math — near issue-rate); the per-kernel dispatch overhead (~3 ms on this
@@ -195,7 +196,7 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
                 limit = tmax - 1e-3
                 nid = jnp.clip(code, 0, num_nodes - 1)
                 row = nodes_ref[pl.ds(nid, 1), :]
-                live_limit = jnp.where(occ > 0, 0.0, limit)
+                live_limit = jnp.where(occ > 0, -1.0, limit)
                 crow = child_ref[pl.ds(nid, 1), :]
                 for s in range(arity):
                     hit_s, _ = _slab(row, 6 * s, ox, oy, oz, ix, iy, iz,
@@ -320,7 +321,8 @@ def _tile_rays(ori: Vec3, d: Vec3, t_max: jnp.ndarray, group: int = 1):
     return (
         pad3(ori.x), pad3(ori.y), pad3(ori.z),
         pad3(d.x), pad3(d.y), pad3(d.z),
-        jnp.pad(t_max, (0, n_pad - n)).reshape(nt, SUBLANES, LANES),
+        jnp.pad(t_max, (0, n_pad - n),
+                constant_values=-1.0).reshape(nt, SUBLANES, LANES),
         nt, n,
     )
 
@@ -483,7 +485,8 @@ def _children_any_hit(hits):
 
 def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                       cstack_depth: int, any_hit: bool, tri_rows: int,
-                      arity: int, node_pops: int = 1, rows: int = SUBLANES):
+                      arity: int, node_pops: int = 1, rows: int = SUBLANES,
+                      cluster_pops: int = 1):
     """`rows` = 8 * group: a super-packet of group*1024 rays shares one
     traversal stack. Vector ops on a (rows, 128) tile issue as `group`
     back-to-back register ops with no dependency between them, so the
@@ -517,8 +520,8 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
         max_steps = 8 * num_nodes + 8192
 
         # when the cluster stack could overflow on this iteration's pushes,
-        # skip node pops so the cluster stack drains (1 pop/iteration) —
-        # a dropped push would silently lose intersections
+        # skip node pops so the cluster stack drains (cluster_pops per
+        # iteration) — a dropped push would silently lose intersections
         cmargin = cstack_depth - node_pops * A - 1
 
         def pops(nsp, csp):
@@ -529,11 +532,13 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                 ncodes.append(jnp.where(
                     has, nstack[jnp.maximum(nsp - 1, 0)], jnp.int32(-1)))
                 nsp = jnp.where(has, nsp - 1, nsp)
-            chas = csp > 0
-            cval = jnp.where(chas, cstack[jnp.maximum(csp - 1, 0)],
-                             jnp.int32(0))
-            csp = jnp.maximum(csp - 1, 0)
-            return ncodes, cval, nsp, csp
+            cvals = []
+            for _ in range(cluster_pops):
+                chas = csp > 0
+                cvals.append(jnp.where(chas, cstack[jnp.maximum(csp - 1, 0)],
+                                       jnp.int32(0)))
+                csp = jnp.maximum(csp - 1, 0)
+            return ncodes, cvals, nsp, csp
 
         def cluster_block(cval):
             start = jnp.clip(cval // 256, 0, tri_rows - k_cluster)
@@ -596,15 +601,16 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
 
             def body(c):
                 step, nsp, csp, occ = c
-                ncodes, cval, nsp, csp = pops(nsp, csp)
-                block, count = cluster_block(cval)
-                live_limit = jnp.where(occ > 0, 0.0, limit0)
-                for j in range(k_cluster):
-                    t, u, v, hitg = _mt_scalar_tri(
-                        block, j, ox, oy, oz, dx, dy, dz)
-                    occ = jnp.maximum(
-                        occ, (hitg & (j < count)
-                              & (t < limit0)).astype(jnp.int32))
+                ncodes, cvals, nsp, csp = pops(nsp, csp)
+                live_limit = jnp.where(occ > 0, -1.0, limit0)
+                for cval in cvals:
+                    block, count = cluster_block(cval)
+                    for j in range(k_cluster):
+                        t, u, v, hitg = _mt_scalar_tri(
+                            block, j, ox, oy, oz, dx, dy, dz)
+                        occ = jnp.maximum(
+                            occ, (hitg & (j < count)
+                                  & (t < limit0)).astype(jnp.int32))
                 for c_node in ncodes:
                     codes, anyh, ordw = node_children(c_node, live_limit)
                     nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
@@ -621,17 +627,18 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
 
             def body(c):
                 step, nsp, csp, bt, btri, bu, bv = c
-                ncodes, cval, nsp, csp = pops(nsp, csp)
-                block, count = cluster_block(cval)
-                for j in range(k_cluster):
-                    t, u, v, hitg = _mt_scalar_tri(
-                        block, j, ox, oy, oz, dx, dy, dz)
-                    hit = hitg & (j < count) & (t < bt)
-                    tri_id = block[j, 9].astype(jnp.int32)
-                    bt = jnp.where(hit, t, bt)
-                    btri = jnp.where(hit, tri_id, btri)
-                    bu = jnp.where(hit, u, bu)
-                    bv = jnp.where(hit, v, bv)
+                ncodes, cvals, nsp, csp = pops(nsp, csp)
+                for cval in cvals:
+                    block, count = cluster_block(cval)
+                    for j in range(k_cluster):
+                        t, u, v, hitg = _mt_scalar_tri(
+                            block, j, ox, oy, oz, dx, dy, dz)
+                        hit = hitg & (j < count) & (t < bt)
+                        tri_id = block[j, 9].astype(jnp.int32)
+                        bt = jnp.where(hit, t, bt)
+                        btri = jnp.where(hit, tri_id, btri)
+                        bu = jnp.where(hit, u, bu)
+                        bv = jnp.where(hit, v, bv)
                 for c_node in ncodes:
                     codes, anyh, ordw = node_children(c_node, bt)
                     nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
@@ -653,9 +660,10 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
 # Stack bounds: nstack holds a DFS frontier <= (arity-1) * tree levels +
 # pops; cstack is drained-before-overflow by the pop throttle.
 NODE_POPS = 2
+CLUSTER_POPS = 2
 GROUP = 8  # super-packet = GROUP * 1024 rays per shared stack
 NSTACK_DEPTH = 192
-CSTACK_DEPTH = 256
+CSTACK_DEPTH = 1024
 
 
 def _tile_rays_grouped(ori: Vec3, d: Vec3, t_max: jnp.ndarray, group: int):
@@ -673,24 +681,27 @@ def _tile_rays_grouped(ori: Vec3, d: Vec3, t_max: jnp.ndarray, group: int):
     return (
         pad3(ori.x), pad3(ori.y), pad3(ori.z),
         pad3(d.x), pad3(d.y), pad3(d.z),
-        jnp.pad(t_max, (0, n_pad - n)).reshape(nt, rows, LANES),
+        jnp.pad(t_max, (0, n_pad - n),
+                constant_values=-1.0).reshape(nt, rows, LANES),
         nt, n,
     )
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("stack_depth", "node_pops", "group"))
+                   static_argnames=("stack_depth", "node_pops", "group",
+                                    "cluster_pops"))
 def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
                             t_max: jnp.ndarray, stack_depth: int = NSTACK_DEPTH,
                             node_pops: int = NODE_POPS,
-                            group: int = GROUP) -> HitRecord:
+                            group: int = GROUP,
+                            cluster_pops: int = CLUSTER_POPS) -> HitRecord:
     rows = SUBLANES * group
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
                                                            group)
     kernel = _make_kernel_wide(
         pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
         any_hit=False, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
-        node_pops=node_pops, rows=rows)
+        node_pops=node_pops, rows=rows, cluster_pops=cluster_pops)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -727,18 +738,20 @@ def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("stack_depth", "node_pops", "group"))
+                   static_argnames=("stack_depth", "node_pops", "group",
+                                    "cluster_pops"))
 def packet_any_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
                         t_max: jnp.ndarray, stack_depth: int = NSTACK_DEPTH,
                         node_pops: int = NODE_POPS,
-                        group: int = GROUP) -> jnp.ndarray:
+                        group: int = GROUP,
+                        cluster_pops: int = CLUSTER_POPS) -> jnp.ndarray:
     rows = SUBLANES * group
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
                                                            group)
     kernel = _make_kernel_wide(
         pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
         any_hit=True, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
-        node_pops=node_pops, rows=rows)
+        node_pops=node_pops, rows=rows, cluster_pops=cluster_pops)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)

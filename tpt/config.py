@@ -77,6 +77,13 @@ class RenderConfig:
     # restores packet coherence for the Pallas backend (incoherent packets
     # measured ~20x slower than coherent on v5e)
     sort_bounce_rays: bool = True
+    # coherence-key layout: "dir_major" (direction cone on top — packets
+    # traverse beams) or "cell_major" (origin locale on top)
+    sort_key: str = "dir_major"
+    # shrink the dispatched path pool as paths die (split mode): the
+    # compacting sort leaves live paths in a dense prefix; the host reads
+    # one alive-count scalar per bounce and picks a static prefix variant
+    adaptive_pool: bool = True
     # synthetic shading cost for the megakernel-vs-wavefront stress study
     # (reference keeps it as commented code — interactions.cu:255-321)
     heavy_shading_iters: int = 0

@@ -180,7 +180,7 @@ def compute_env_nee(scene, cfg, raycaster, state, point: Vec3, n_sh: Vec3,
     mask = (alive & front & ~is_delta & (cos_surf > 0.0)
             & (pdf_env > 0.0) & (contrib.length_sq() > 0.0))
     shadow_ori = point + ng * EPSILON
-    t_far = jnp.where(mask, jnp.full((n,), 1e7), 0.0)
+    t_far = jnp.where(mask, jnp.full((n,), 1e7), -1.0)
     occluded = raycaster.any_hit(shadow_ori, wi, t_far)
     from ..core.vec import where as vwhere3
 

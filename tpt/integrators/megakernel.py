@@ -52,9 +52,10 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
     def bounce(depth, carry):
         ori, direction, throughput, last_pdf, state, alive, radiance = carry
 
-        # dead lanes get t_max=0 so fully-dead packets exit immediately
+        # dead lanes get t_max=-1 so fully-dead packets exit immediately
+        # (0 would still pass slab tests for boxes containing the origin)
         hit = raycaster.closest_hit(ori, direction,
-                                    jnp.where(alive, 3.4e38, 0.0))
+                                    jnp.where(alive, 3.4e38, -1.0))
         hit_mask = alive & hit.hit_mask
         first = depth == 0
 

@@ -39,17 +39,40 @@ def _interleave7(v: jnp.ndarray) -> jnp.ndarray:
     return _expand_bits(jnp.asarray(v, jnp.uint32))
 
 
-def coherence_key(ori: Vec3, d: Vec3, world_lo: Vec3, world_inv: Vec3
-                  ) -> jnp.ndarray:
-    """24-bit sort key: 21-bit origin morton (128^3 cells) << 3 | octant."""
-    qx = _interleave7(_quantize(ori.x, world_lo.x, world_inv.x, 7))
-    qy = _interleave7(_quantize(ori.y, world_lo.y, world_inv.y, 7))
-    qz = _interleave7(_quantize(ori.z, world_lo.z, world_inv.z, 7))
-    morton = (qx << 2) | (qy << 1) | qz
+def coherence_key(ori: Vec3, d: Vec3, world_lo: Vec3, world_inv: Vec3,
+                  mode: str = "dir_major") -> jnp.ndarray:
+    """Sort key for packet coherence. Modes (swept on hardware,
+    benchmarks/traversal.py):
+
+    - "cell_major": 21-bit origin morton << 3 | octant. Groups rays by
+      locale; a super-packet then contains ALL directions — measured to
+      saturate the traversal union to the whole scene on interiors.
+    - "dir_major": direction cone (octant + 1 bit/axis = 6 bits) on top,
+      then 18-bit origin morton. Packets share a <=45-degree cone AND a
+      locale, so they traverse beams instead of spheres.
+    """
     octant = ((d.x >= 0).astype(jnp.uint32) * 4
               + (d.y >= 0).astype(jnp.uint32) * 2
               + (d.z >= 0).astype(jnp.uint32))
-    return ((morton << 3) | octant).astype(jnp.int32)
+    if mode == "cell_major":
+        qx = _interleave7(_quantize(ori.x, world_lo.x, world_inv.x, 7))
+        qy = _interleave7(_quantize(ori.y, world_lo.y, world_inv.y, 7))
+        qz = _interleave7(_quantize(ori.z, world_lo.z, world_inv.z, 7))
+        morton = (qx << 2) | (qy << 1) | qz
+        return ((morton << 3) | octant).astype(jnp.int32)
+    # dir_major: refine each octant by the dominant |component| sign bitting
+    ax = (jnp.abs(d.x) > 0.5).astype(jnp.uint32)
+    ay = (jnp.abs(d.y) > 0.5).astype(jnp.uint32)
+    az = (jnp.abs(d.z) > 0.5).astype(jnp.uint32)
+    cone = (octant << 3) | (ax << 2) | (ay << 1) | az
+    qx = _quantize(ori.x, world_lo.x, world_inv.x, 6).astype(jnp.uint32)
+    qy = _quantize(ori.y, world_lo.y, world_inv.y, 6).astype(jnp.uint32)
+    qz = _quantize(ori.z, world_lo.z, world_inv.z, 6).astype(jnp.uint32)
+    from ..bvh.build import _expand_bits
+
+    morton = ((_expand_bits(qx) << 2) | (_expand_bits(qy) << 1)
+              | _expand_bits(qz))
+    return ((cone << 18) | morton).astype(jnp.int32)
 
 
 def sort_permutation(key: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -4,18 +4,23 @@ TPU execution semantics.
 
 Key departures from the CUDA original (/root/reference/src/
 pathtrace_wavefront.cu, src/kernels/*):
-- No queues, no atomic appends, no per-bounce host counter readbacks: the
-  path pool stays lane-aligned (lane == pixel) across the whole frame, and
-  "queues" become lane masks. Measured on v5e, a single physical
-  compaction (lax.sort of 2M keys) costs ~34 ms — more than an entire
-  frame budget — while masked all-lane shading costs ~nothing because the
-  VPU executes every lane regardless. Dead-path skipping instead happens
-  inside the Pallas ray-cast kernels, where fully-dead packets exit after
-  one root-AABB step.
+- No queues, no atomic appends: the path pool is kept PHYSICALLY SORTED
+  by a ray-coherence key — one multi-operand lax.sort per bounce moves
+  the whole path state (measured ~2.6 ms per extra 2M-lane payload
+  operand vs ~30 ms per 2M gather), dead lanes get the max key so live
+  paths compact into dense packets (the reference's warp-aggregated
+  queue compaction as a by-product), and pixel order is restored by one
+  sort at frame end. See _sort_pool.
+- The reference's per-bounce D2H queue-counter readbacks return in TPU
+  form as ONE 4-byte alive-count fetch per bounce (split mode), which
+  drives adaptive pool shrinking: later bounces dispatch on a static
+  prefix variant of the sorted pool and the frame stops early when no
+  path is alive. Exact — tests pin bit-equality against the fixed pool.
 - Material-sorted shading becomes lane-parallel lobe evaluation + select
-  (materials/bsdf.py).
+  (materials/bsdf.py); the sort budget goes to traversal coherence, the
+  actually-scarce resource on a vector machine.
 - The 4-function engine API (init/frame/free) collapses into a pure
-  function over an explicit WavefrontFrame pytree, so snapshot/resume and
+  function over an explicit carry pytree, so snapshot/resume and
   multi-chip sharding come for free.
 
 Stage outputs match the reference: separate direct (NEE) and indirect
@@ -57,6 +62,11 @@ from .common import (
 )
 
 
+# smallest adaptive-pool prefix variant (each size compiles its own XLA
+# program, so the ladder is coarse: n, n/4, n/16, ... down to this floor)
+MIN_POOL = 1 << 16
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class GBuffers:
@@ -90,7 +100,7 @@ class FrameOutput:
     rays_traced: jnp.ndarray  # scalar int32 (extension+shadow), for MRays/s
 
 
-def _sort_pool(scene, carry_slice, first):
+def _sort_pool(scene, cfg, carry_slice, first):
     """Physically re-sort the live path pool by ray-coherence key.
 
     TPU rationale (measured, BENCHMARKS.md §6): a multi-operand lax.sort
@@ -108,7 +118,8 @@ def _sort_pool(scene, carry_slice, first):
     def do_sort(args):
         (ori, direction, throughput, last_pdf, state, alive, direct,
          indirect, pixel_idx) = args
-        key = raysort.coherence_key(ori, direction, world_lo, world_inv)
+        key = raysort.coherence_key(ori, direction, world_lo, world_inv,
+                                     mode=cfg.sort_key)
         key = jnp.where(alive, key, jnp.int32(1 << 30))
         (_, ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, st, al,
          drx, dry, drz, inx, iny, inz, pidx) = jax.lax.sort(
@@ -157,13 +168,14 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
         if do_sort:
             (ori, direction, throughput, last_pdf, state, alive, direct,
              indirect, pixel_idx) = _sort_pool(
-                scene, (ori, direction, throughput, last_pdf, state, alive,
-                        direct, indirect, pixel_idx), first)
+                scene, cfg, (ori, direction, throughput, last_pdf, state,
+                             alive, direct, indirect, pixel_idx), first)
 
         # ---- TraceExtensionRay stage -------------------------------------
-        # dead lanes get t_max=0 so their packets fail the root test
-        # (post-sort they are densely packed at the pool tail)
-        ext_tmax = jnp.where(alive, 3.4e38, 0.0)
+        # dead lanes get t_max=-1 so their packets fail even root boxes
+        # that contain the stale origin (a 0 limit still passes the slab
+        # test with tn=tf=0); post-sort they are dense at the pool tail
+        ext_tmax = jnp.where(alive, 3.4e38, -1.0)
         hit = raycaster.closest_hit(ori, direction, ext_tmax)
         rays = rays + jnp.sum(alive.astype(jnp.int32))
 
@@ -251,7 +263,7 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             # shadow lanes inherit the extension sort's coherence: origins
             # are the (cell-sorted) hit points, so no second sort is needed
             shadow_ori = point + ng * EPSILON
-            shadow_t = jnp.where(nee_mask, dist, 0.0)  # dead shadow lanes
+            shadow_t = jnp.where(nee_mask, dist, -1.0)  # dead shadow lanes
             occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
             rays = rays + jnp.sum(nee_mask.astype(jnp.int32))
             direct = direct + vwhere(nee_mask & ~occluded, contrib,
@@ -389,23 +401,95 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
         out = finish_carry(cfg, carry)
         return out, acc_direct + out.direct, acc_indirect + out.indirect
 
-    def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
-        carry = start(iteration)
-        for depth in range(cfg.trace_depth):
-            carry = bounce_fn(jnp.int32(depth), prev_vp, carry)
-        return finish(carry, acc_direct, acc_indirect)
+    # Adaptive pool shrinking (the reference's per-bounce queue-counter
+    # readback, TPU-shaped — pathtrace_wavefront.cu:285-287): each bounce
+    # starts with the compacting coherence sort, so all live paths sit in
+    # a dense prefix whose size the host learns from a 4-byte fetch. Later
+    # bounces dispatch on a static prefix variant (one XLA program per
+    # size), and the frame stops early once nothing is alive. Exact: the
+    # sliced-off tail is all-dead with final radiance, and per-lane math
+    # is independent of pool composition.
+    sort_on = cfg.sort_bounce_rays and do_adaptive_pool(cfg)
+    if sort_on:
+        sizes = []
+        s = n
+        while s >= MIN_POOL:
+            sizes.append(s)
+            s //= 4
+        sizes = sizes or [n]
+
+        def variant_ceil(count):
+            for s in reversed(sizes):
+                if count <= s:
+                    return s
+            return n
+
+        slice_leaf = lambda size: (
+            lambda a: a[:size] if getattr(a, "ndim", 0) >= 1 else a)
+        tail_leaf = lambda size: (
+            lambda a: a[size:] if getattr(a, "ndim", 0) >= 1 else a)
+
+        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
+            import numpy as _np
+
+            carry = start(iteration)
+            head = n
+            alive_count = n
+            # alive lanes are known to sit in prefix(compact_bound) only
+            # after a bounce that ran the compacting sort (depth >= 1)
+            compact_bound = None
+            tails = []
+            for depth in range(cfg.trace_depth):
+                if alive_count == 0:
+                    break
+                if compact_bound is not None:
+                    new_head = variant_ceil(compact_bound)
+                    if new_head < head:
+                        tails.append(jax.tree_util.tree_map(
+                            tail_leaf(new_head), carry))
+                        carry = jax.tree_util.tree_map(slice_leaf(new_head),
+                                                       carry)
+                        head = new_head
+                entry_count = alive_count
+                carry, alive_scalar = bounce_fn(jnp.int32(depth), prev_vp,
+                                                carry)
+                alive_count = int(_np.asarray(alive_scalar))
+                if depth >= 1:  # this bounce sorted: live now in a prefix
+                    compact_bound = entry_count
+            for tail in reversed(tails):
+                carry = jax.tree_util.tree_map(
+                    lambda a, b: (jnp.concatenate([a, b])
+                                  if getattr(a, "ndim", 0) >= 1 else a),
+                    carry, tail)
+            return finish(carry, acc_direct, acc_indirect)
+    else:
+        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
+            carry = start(iteration)
+            for depth in range(cfg.trace_depth):
+                carry, _ = bounce_fn(jnp.int32(depth), prev_vp, carry)
+            return finish(carry, acc_direct, acc_indirect)
 
     return frame, vp
 
 
+def do_adaptive_pool(cfg: RenderConfig) -> bool:
+    from ..config import RayCastBackend
+
+    return (cfg.adaptive_pool
+            and cfg.backend == RayCastBackend.BVH_PALLAS)
+
+
 def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                     cfg: RenderConfig, view_proj):
-    """One jitted wavefront bounce over the full path pool (split mode)."""
+    """One jitted wavefront bounce over the (possibly sliced) path pool
+    (split mode). Returns (carry', alive_count) — the scalar count is the
+    4-byte per-bounce readback driving adaptive pool shrinking."""
 
     @jax.jit
     def one_bounce(depth, prev_view_proj, carry):
-        return _bounce_body(scene, raycaster, cam, cfg, view_proj,
-                            prev_view_proj, depth, carry)
+        out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                           prev_view_proj, depth, carry)
+        return out, jnp.sum(out[5].astype(jnp.int32))
 
     return one_bounce
 
