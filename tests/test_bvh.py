@@ -222,3 +222,61 @@ class TestWideKernelStackPressure:
         ref_occ = brute_force_any_hit(mesh, o, d, t_short)
         occ = packet_any_hit_wide(data.pack, o, d, t_short)
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref_occ))
+
+
+class TestStreamedTriangles:
+    def test_streamed_matches_vmem_and_brute_force(self):
+        """HBM triangle streaming (pack.stream_tris): the DMA-per-cluster
+        kernel must agree exactly with the VMEM-resident kernel and with
+        brute force — the capability that removes the VMEM ceiling on
+        scene size (reference equivalent: GPU global-memory triangle
+        buffer, ray_cast.cu __ldg loads)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from tpt.bvh.pallas_traverse import (packet_any_hit_wide,
+                                             packet_closest_hit_wide)
+        from tpt.core.vec import Vec3
+        from tpt.integrators.intersect import (FLT_MAX,
+                                               brute_force_any_hit,
+                                               brute_force_closest_hit)
+        from tpt.scene import procedural
+
+        host = procedural.cornell_box(resolution=(8, 8), spheres=True)
+        data = host.build(with_bvh=True, stream_tris=True)
+        assert data.pack.stream_tris
+        pack_v = dataclasses.replace(data.pack, stream_tris=False)
+        mesh = data.mesh
+
+        rng = np.random.default_rng(7)
+        n = 4096
+        o = Vec3(jnp.asarray(rng.uniform(-4, 4, n).astype(np.float32)),
+                 jnp.asarray(rng.uniform(0.5, 9.5, n).astype(np.float32)),
+                 jnp.asarray(rng.uniform(-4, 4, n).astype(np.float32)))
+        dd = rng.normal(size=(3, n)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=0)
+        d = Vec3(*[jnp.asarray(c) for c in dd])
+        tmax = jnp.full((n,), FLT_MAX)
+
+        ref = brute_force_closest_hit(mesh, o, d, tmax)
+        hs = packet_closest_hit_wide(data.pack, o, d, tmax)
+        hv = packet_closest_hit_wide(pack_v, o, d, tmax)
+        np.testing.assert_array_equal(np.asarray(hs.t), np.asarray(hv.t))
+        np.testing.assert_array_equal(np.asarray(hs.tri), np.asarray(hv.tri))
+        np.testing.assert_allclose(np.asarray(hs.t), np.asarray(ref.t),
+                                   rtol=1e-4, atol=1e-4)
+
+        t_short = jnp.full((n,), 3.0)
+        ref_occ = brute_force_any_hit(mesh, o, d, t_short)
+        occ = packet_any_hit_wide(data.pack, o, d, t_short)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref_occ))
+
+    def test_auto_threshold(self):
+        from tpt.scene import procedural
+
+        host = procedural.cornell_box(resolution=(8, 8))
+        small = host.build(with_bvh=True)           # tiny: stays VMEM
+        assert not small.pack.stream_tris
+        forced = host.build(with_bvh=True, stream_tris=True)
+        assert forced.pack.stream_tris

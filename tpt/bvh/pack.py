@@ -39,6 +39,11 @@ class PacketBVH:
     num_triangles: int = field(metadata=dict(static=True), default=0)
     max_cluster: int = field(metadata=dict(static=True), default=8)
     arity: int = field(metadata=dict(static=True), default=2)
+    # stream_tris: leave the triangle table in HBM and DMA each cluster
+    # slice into VMEM scratch inside the traversal kernel — removes the
+    # VMEM ceiling on scene size (the node table stays VMEM-resident: it
+    # is ~2% of the triangle table's bytes)
+    stream_tris: bool = field(metadata=dict(static=True), default=False)
 
 
 def encode_cluster(start: int, count: int) -> int:

@@ -486,7 +486,7 @@ def _children_any_hit(hits):
 def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                       cstack_depth: int, any_hit: bool, tri_rows: int,
                       arity: int, node_pops: int = 1, rows: int = SUBLANES,
-                      cluster_pops: int = 1):
+                      cluster_pops: int = 1, stream_tris: bool = False):
     """`rows` = 8 * group: a super-packet of group*1024 rays shares one
     traversal stack. Vector ops on a (rows, 128) tile issue as `group`
     back-to-back register ops with no dependency between them, so the
@@ -494,14 +494,28 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
     amortizes over group x the rays. The node-visit union grows
     sub-linearly with group for sorted rays (and not at all for fully
     incoherent ones, which visit most of the tree regardless) — measured
-    net wins at group 4-16 on v5e."""
+    net wins at group 4-16 on v5e.
+
+    `stream_tris`: the triangle table stays in HBM; each popped cluster's
+    (K, 16) slice is DMA'd into a VMEM scratch slot at the top of the loop
+    iteration and intersected after the node work, so the copy rides the
+    slab-math latency. Removes the VMEM ceiling on scene size (the
+    reference's equivalent capability is GPU global memory + L2 for the
+    triangle buffer, ray_cast.cu __ldg loads)."""
     A = arity
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, child_ref, tri_ref, *out_refs):
-        nstack = out_refs[-2]
-        cstack = out_refs[-1]
-        outs = out_refs[:-2]
+        if stream_tris:
+            nstack = out_refs[-4]
+            cstack = out_refs[-3]
+            tri_scratch = out_refs[-2]
+            dma_sems = out_refs[-1]
+            outs = out_refs[:-4]
+        else:
+            nstack = out_refs[-2]
+            cstack = out_refs[-1]
+            outs = out_refs[:-2]
         ox = ox_ref[0]
         oy = oy_ref[0]
         oz = oz_ref[0]
@@ -540,10 +554,19 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                 csp = jnp.maximum(csp - 1, 0)
             return ncodes, cvals, nsp, csp
 
-        def cluster_block(cval):
+        def cluster_start_count(cval):
             start = jnp.clip(cval // 256, 0, tri_rows - k_cluster)
-            count = cval % 256
+            return start, cval % 256
+
+        def cluster_block(cval):
+            start, count = cluster_start_count(cval)
             return tri_ref[pl.ds(start, k_cluster), :], count
+
+        def cluster_dma(slot, start):
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(start, k_cluster), :],
+                tri_scratch.at[pl.ds(slot * k_cluster, k_cluster), :],
+                dma_sems.at[slot])
 
         def node_children(c_node, limit):
             """Slab-test the A children of node `c_node` against `limit`
@@ -599,21 +622,41 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                 return ((nsp > 0) | (csp > 0)) & (jnp.min(occ) < 1) \
                     & (step < max_steps)
 
+            def occ_cluster(block, count, occ):
+                for j in range(k_cluster):
+                    t, u, v, hitg = _mt_scalar_tri(
+                        block, j, ox, oy, oz, dx, dy, dz)
+                    occ = jnp.maximum(
+                        occ, (hitg & (j < count)
+                              & (t < limit0)).astype(jnp.int32))
+                return occ
+
             def body(c):
                 step, nsp, csp, occ = c
                 ncodes, cvals, nsp, csp = pops(nsp, csp)
                 live_limit = jnp.where(occ > 0, -1.0, limit0)
-                for cval in cvals:
-                    block, count = cluster_block(cval)
-                    for j in range(k_cluster):
-                        t, u, v, hitg = _mt_scalar_tri(
-                            block, j, ox, oy, oz, dx, dy, dz)
-                        occ = jnp.maximum(
-                            occ, (hitg & (j < count)
-                                  & (t < limit0)).astype(jnp.int32))
-                for c_node in ncodes:
-                    codes, anyh, ordw = node_children(c_node, live_limit)
-                    nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
+                if stream_tris:
+                    scs = [cluster_start_count(cv) for cv in cvals]
+                    dmas = [cluster_dma(i, s)
+                            for i, (s, _) in enumerate(scs)]
+                    for d in dmas:
+                        d.start()
+                    # node work rides the DMA latency
+                    for c_node in ncodes:
+                        codes, anyh, ordw = node_children(c_node, live_limit)
+                        nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
+                    for i, (_, count) in enumerate(scs):
+                        dmas[i].wait()
+                        block = tri_scratch[
+                            pl.ds(i * k_cluster, k_cluster), :]
+                        occ = occ_cluster(block, count, occ)
+                else:
+                    for cval in cvals:
+                        block, count = cluster_block(cval)
+                        occ = occ_cluster(block, count, occ)
+                    for c_node in ncodes:
+                        codes, anyh, ordw = node_children(c_node, live_limit)
+                        nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
                 return (step + 1, nsp, csp, occ)
 
             occ0 = (limit0 <= 0.0).astype(jnp.int32)
@@ -625,23 +668,47 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                 step, nsp, csp = c[0], c[1], c[2]
                 return ((nsp > 0) | (csp > 0)) & (step < max_steps)
 
+            def closest_cluster(block, count, bt, btri, bu, bv):
+                for j in range(k_cluster):
+                    t, u, v, hitg = _mt_scalar_tri(
+                        block, j, ox, oy, oz, dx, dy, dz)
+                    hit = hitg & (j < count) & (t < bt)
+                    tri_id = block[j, 9].astype(jnp.int32)
+                    bt = jnp.where(hit, t, bt)
+                    btri = jnp.where(hit, tri_id, btri)
+                    bu = jnp.where(hit, u, bu)
+                    bv = jnp.where(hit, v, bv)
+                return bt, btri, bu, bv
+
             def body(c):
                 step, nsp, csp, bt, btri, bu, bv = c
                 ncodes, cvals, nsp, csp = pops(nsp, csp)
-                for cval in cvals:
-                    block, count = cluster_block(cval)
-                    for j in range(k_cluster):
-                        t, u, v, hitg = _mt_scalar_tri(
-                            block, j, ox, oy, oz, dx, dy, dz)
-                        hit = hitg & (j < count) & (t < bt)
-                        tri_id = block[j, 9].astype(jnp.int32)
-                        bt = jnp.where(hit, t, bt)
-                        btri = jnp.where(hit, tri_id, btri)
-                        bu = jnp.where(hit, u, bu)
-                        bv = jnp.where(hit, v, bv)
-                for c_node in ncodes:
-                    codes, anyh, ordw = node_children(c_node, bt)
-                    nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
+                if stream_tris:
+                    scs = [cluster_start_count(cv) for cv in cvals]
+                    dmas = [cluster_dma(i, s)
+                            for i, (s, _) in enumerate(scs)]
+                    for d in dmas:
+                        d.start()
+                    # node work rides the DMA latency (bt is one cluster
+                    # staler than the VMEM path — pruning only, not
+                    # correctness)
+                    for c_node in ncodes:
+                        codes, anyh, ordw = node_children(c_node, bt)
+                        nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
+                    for i, (_, count) in enumerate(scs):
+                        dmas[i].wait()
+                        block = tri_scratch[
+                            pl.ds(i * k_cluster, k_cluster), :]
+                        bt, btri, bu, bv = closest_cluster(
+                            block, count, bt, btri, bu, bv)
+                else:
+                    for cval in cvals:
+                        block, count = cluster_block(cval)
+                        bt, btri, bu, bv = closest_cluster(
+                            block, count, bt, btri, bu, bv)
+                    for c_node in ncodes:
+                        codes, anyh, ordw = node_children(c_node, bt)
+                        nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
                 return (step + 1, nsp, csp, bt, btri, bu, bv)
 
             init = (jnp.int32(0), jnp.int32(1), jnp.int32(0),
@@ -698,13 +765,23 @@ def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
     rows = SUBLANES * group
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
                                                            group)
+    stream = pack.stream_tris
     kernel = _make_kernel_wide(
         pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
         any_hit=False, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
-        node_pops=node_pops, rows=rows, cluster_pops=cluster_pops)
+        node_pops=node_pops, rows=rows, cluster_pops=cluster_pops,
+        stream_tris=stream)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY) if stream else tab_spec
+    scratch = [pltpu.SMEM((stack_depth + 2,), jnp.int32),
+               pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)]
+    if stream:
+        scratch += [
+            pltpu.VMEM((cluster_pops * pack.max_cluster, 16), jnp.float32),
+            pltpu.SemaphoreType.DMA((cluster_pops,)),
+        ]
     out_shape = [
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
@@ -714,11 +791,10 @@ def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
     bt, btri, bu, bv = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[ray_spec] * 7 + [tab_spec] * 3,
+        in_specs=[ray_spec] * 7 + [tab_spec] * 2 + [tri_spec],
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32),
-                        pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -748,21 +824,30 @@ def packet_any_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
     rows = SUBLANES * group
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
                                                            group)
+    stream = pack.stream_tris
     kernel = _make_kernel_wide(
         pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
         any_hit=True, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
-        node_pops=node_pops, rows=rows, cluster_pops=cluster_pops)
+        node_pops=node_pops, rows=rows, cluster_pops=cluster_pops,
+        stream_tris=stream)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY) if stream else tab_spec
+    scratch = [pltpu.SMEM((stack_depth + 2,), jnp.int32),
+               pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)]
+    if stream:
+        scratch += [
+            pltpu.VMEM((cluster_pops * pack.max_cluster, 16), jnp.float32),
+            pltpu.SemaphoreType.DMA((cluster_pops,)),
+        ]
     occ = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[ray_spec] * 7 + [tab_spec] * 3,
+        in_specs=[ray_spec] * 7 + [tab_spec] * 2 + [tri_spec],
         out_specs=[ray_spec],
         out_shape=[jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32)],
-        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32),
-                        pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -57,8 +57,14 @@ class HostScene:
     def emittances(self) -> np.ndarray:
         return np.array([m.emittance for m in self.materials] or [0.0], np.float32)
 
+    # triangle tables beyond this stay HBM-resident and are DMA-streamed
+    # per cluster by the traversal kernel (the kernel caps VMEM at 100 MB;
+    # rays + node tables + double-buffered outputs need the rest)
+    STREAM_TRIS_BYTES = 48 * 1024 * 1024
+
     def build(self, with_bvh: bool = False, bvh_builder: str = "auto",
-              max_cluster: int = 16, packet_arity: int = 8) -> SceneData:
+              max_cluster: int = 16, packet_arity: int = 8,
+              stream_tris: "bool | str" = "auto") -> SceneData:
         """Upload everything to device pytrees; optionally build the BVH.
 
         bvh_builder: "sah" (native C++ binned SAH — better traversal),
@@ -66,7 +72,10 @@ class HostScene:
         native library is available). packet_arity 4/8 selects the
         wide-node packet layout (the measured sweet spot is arity 8 with
         16-triangle clusters — benchmarks/traversal.py); 2 keeps the
-        binary packet layout."""
+        binary packet layout. stream_tris True (or "auto" beyond
+        STREAM_TRIS_BYTES) leaves the triangle table in HBM and the
+        Pallas kernel DMA-streams each cluster — removes the VMEM
+        ceiling on scene size."""
         mats = self.materials or [HostMaterial()]
         table = MaterialTable(
             basecolor=Vec3.from_stacked(
@@ -111,5 +120,12 @@ class HostScene:
                                              arity=packet_arity)
             else:
                 pack = build_packet_bvh(mesh, bvh, max_cluster=max_cluster)
+            stream = stream_tris
+            if stream == "auto":
+                stream = pack.tri_f32.nbytes > self.STREAM_TRIS_BYTES
+            if stream and pack.arity > 2:
+                import dataclasses
+
+                pack = dataclasses.replace(pack, stream_tris=True)
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
                          env=env, bvh=bvh, pack=pack)
