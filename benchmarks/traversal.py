@@ -85,16 +85,43 @@ def main():
     dir_b1 = cosine_weighted_dir(ngb, u1, u2)
     ori_b1 = pt + ngb * 1e-3
 
+    # realistic bounce-1 shadow rays: hit points toward a ceiling light
+    lp = jnp.asarray(0.5 * (lo + hi) + np.float32([0, 0.45 * (hi - lo)[1], 0]))
+    to_l = Vec3(lp[0] - pt.x, lp[1] - pt.y, lp[2] - pt.z)
+    ldist = to_l.length()
+    dir_sh = to_l * (1.0 / jnp.maximum(ldist, 1e-9))
+
+    srt = jax.jit(sort_rays, static_argnames="mode")
     pops = {
         "primary": (ori_p, dir_p),
-        "bounce1_cell": jax.jit(sort_rays, static_argnames="mode")(
-            ori_b1, dir_b1, "cell_major"),
-        "bounce1_dir": jax.jit(sort_rays, static_argnames="mode")(
-            ori_b1, dir_b1, "dir_major"),
-        "sorted_random": jax.jit(sort_rays, static_argnames="mode")(
-            ori_r, dir_r, "dir_major"),
+        "bounce1_cell": srt(ori_b1, dir_b1, "cell_major"),
+        "bounce1_dir": srt(ori_b1, dir_b1, "dir_major"),
+        "bounce1_oct3": srt(ori_b1, dir_b1, "oct3"),
+        "bounce1_oct4": srt(ori_b1, dir_b1, "oct4"),
+        "bounce1_oct5": srt(ori_b1, dir_b1, "oct5"),
+        "sorted_random": srt(ori_r, dir_r, "dir_major"),
         "random": (ori_r, dir_r),
     }
+    # shadow populations use any-hit semantics with t_max = light distance
+    o_sh, d_sh = ori_b1 + ngb * 1e-3, dir_sh
+    key_sh = raysort.coherence_key(o_sh, d_sh, world_lo, world_inv,
+                                   mode="dir_major")
+    perm_sh, _ = raysort.sort_permutation(key_sh)
+    anyhit_pops = {
+        "shadow1": (o_sh.take(perm_sh), d_sh.take(perm_sh),
+                    ldist.take(perm_sh)),
+        "shadow1_unsorted": (o_sh, d_sh, ldist),
+    }
+
+    sel = os.environ.get("TRAV_POPS")
+    if sel:
+        pops = {k: v for k, v in pops.items() if k in sel.split()}
+        anyhit_pops = {k: v for k, v in anyhit_pops.items()
+                       if k in sel.split()}
+    if os.environ.get("TRAV_KIND", "closest") != "any":
+        anyhit_pops = {}
+    else:
+        pops = {}
 
     def bench(fn, o, d, reps=3):
         hit = fn(o, d, tmax)
@@ -110,19 +137,41 @@ def main():
         if parts[0] == "v1":
             pack = build_packet_bvh(mesh, bvh, max_cluster=int(parts[1]))
             fn = lambda o, d, t: packet_closest_hit(pack, o, d, t)
+            from tpt.bvh.pallas_traverse import packet_any_hit
+
+            fn_any = lambda o, d, t: packet_any_hit(pack, o, d, t)
         else:
             arity, k, np_ = int(parts[0]), int(parts[1]), int(parts[2])
             grp = int(parts[3]) if len(parts) > 3 else 1
             cp = int(parts[4]) if len(parts) > 4 else 1
+            cull = len(parts) > 5 and parts[5] == "cull"
             pack = build_packet_bvh_wide(mesh, bvh, max_cluster=k,
                                          arity=arity)
             fn = lambda o, d, t: packet_closest_hit_wide(
+                pack, o, d, t, node_pops=np_, group=grp, cluster_pops=cp,
+                t_cull=cull)
+            from tpt.bvh.pallas_traverse import packet_any_hit_wide
+
+            fn_any = lambda o, d, t: packet_any_hit_wide(
                 pack, o, d, t, node_pops=np_, group=grp, cluster_pops=cp)
         for pop_name, (o, d) in pops.items():
             t0 = time.time()
             mrays = bench(fn, o, d)
             print(json.dumps({
                 "metric": f"closest_hit {cfg} {pop_name}",
+                "value": round(mrays, 3), "unit": "Mrays/s",
+                "wall": round(time.time() - t0, 1)}))
+            sys.stdout.flush()
+        for pop_name, (o, d, tsh) in anyhit_pops.items():
+            occ = fn_any(o, d, tsh)
+            np.asarray(occ)
+            t0 = time.time()
+            for _ in range(3):
+                occ = fn_any(o, d, tsh)
+            np.asarray(occ)
+            mrays = nn * 3 / (time.time() - t0) / 1e6
+            print(json.dumps({
+                "metric": f"any_hit {cfg} {pop_name}",
                 "value": round(mrays, 3), "unit": "Mrays/s",
                 "wall": round(time.time() - t0, 1)}))
             sys.stdout.flush()

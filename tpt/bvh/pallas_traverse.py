@@ -406,7 +406,8 @@ def packet_any_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
     return occ.reshape(-1)[:n].astype(bool)
 
 
-def pallas_closest_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max=None):
+def pallas_closest_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max=None,
+                       group=None, node_pops=None, cluster_pops=None):
     """Raycaster-seam adapter (common.make_raycaster)."""
     pack = bvh_or_pack if isinstance(bvh_or_pack, PacketBVH) else None
     if pack is None:
@@ -414,16 +415,25 @@ def pallas_closest_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max=None):
     if t_max is None:
         t_max = jnp.full((ori.shape[0],), FLT_MAX)
     if pack.arity > 2:
-        return packet_closest_hit_wide(pack, ori, d, t_max)
+        return packet_closest_hit_wide(
+            pack, ori, d, t_max,
+            node_pops=node_pops or NODE_POPS,
+            group=group or GROUP,
+            cluster_pops=cluster_pops or CLUSTER_POPS)
     return packet_closest_hit(pack, ori, d, t_max)
 
 
-def pallas_any_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max):
+def pallas_any_hit(mesh, bvh_or_pack, ori: Vec3, d: Vec3, t_max,
+                   group=None, node_pops=None, cluster_pops=None):
     pack = bvh_or_pack if isinstance(bvh_or_pack, PacketBVH) else None
     if pack is None:
         raise ValueError("BVH_PALLAS backend requires a PacketBVH (scene.pack)")
     if pack.arity > 2:
-        return packet_any_hit_wide(pack, ori, d, t_max)
+        return packet_any_hit_wide(
+            pack, ori, d, t_max,
+            node_pops=node_pops or NODE_POPS,
+            group=group or GROUP,
+            cluster_pops=cluster_pops or CLUSTER_POPS)
     return packet_any_hit(pack, ori, d, t_max)
 
 
@@ -486,7 +496,8 @@ def _children_any_hit(hits):
 def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                       cstack_depth: int, any_hit: bool, tri_rows: int,
                       arity: int, node_pops: int = 1, rows: int = SUBLANES,
-                      cluster_pops: int = 1, stream_tris: bool = False):
+                      cluster_pops: int = 1, stream_tris: bool = False,
+                      t_cull: bool = False):
     """`rows` = 8 * group: a super-packet of group*1024 rays shares one
     traversal stack. Vector ops on a (rows, 128) tile issue as `group`
     back-to-back register ops with no dependency between them, so the
@@ -501,21 +512,29 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
     iteration and intersected after the node work, so the copy rides the
     slab-math latency. Removes the VMEM ceiling on scene size (the
     reference's equivalent capability is GPU global memory + L2 for the
-    triangle buffer, ray_cast.cu __ldg loads)."""
+    triangle buffer, ray_cast.cu __ldg loads).
+
+    `t_cull` (closest-hit only): every push records the packet-min entry
+    distance in a parallel f32 SMEM stack; a pop whose recorded t exceeds
+    the packet's current max hit distance skips its dense work entirely
+    (lax.cond). Ordered traversal tightens bt early, so late far pushes
+    are frequently dead by pop time — the per-child min-reduces this
+    needs replace the bitfield any-hit."""
+    assert not (stream_tris and t_cull), "stream_tris + t_cull not combined"
     A = arity
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, child_ref, tri_ref, *out_refs):
+        out_refs = list(out_refs)
+        if t_cull:
+            ctmin = out_refs.pop()
+            ntmin = out_refs.pop()
         if stream_tris:
-            nstack = out_refs[-4]
-            cstack = out_refs[-3]
-            tri_scratch = out_refs[-2]
-            dma_sems = out_refs[-1]
-            outs = out_refs[:-4]
-        else:
-            nstack = out_refs[-2]
-            cstack = out_refs[-1]
-            outs = out_refs[:-2]
+            dma_sems = out_refs.pop()
+            tri_scratch = out_refs.pop()
+        cstack = out_refs.pop()
+        nstack = out_refs.pop()
+        outs = out_refs
         ox = ox_ref[0]
         oy = oy_ref[0]
         oz = oz_ref[0]
@@ -529,6 +548,8 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
         oct_idx = _packet_octant(dx, dy, dz)
 
         nstack[0] = jnp.int32(0)
+        if t_cull:
+            ntmin[0] = jnp.float32(0.0)
         zeros = jnp.zeros((rows, LANES), jnp.float32)
         neg1 = jnp.full((rows, LANES), -1, jnp.int32)
         max_steps = 8 * num_nodes + 8192
@@ -567,6 +588,72 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                 tri_ref.at[pl.ds(start, k_cluster), :],
                 tri_scratch.at[pl.ds(slot * k_cluster, k_cluster), :],
                 dma_sems.at[slot])
+
+        def pops_t(nsp, csp):
+            """pops() variant that also returns each entry's pushed t_near
+            (empty pops yield +INF so the cull skips them)."""
+            allow_nodes = csp < cmargin
+            ncodes, ntmins = [], []
+            for _ in range(node_pops):
+                has = (nsp > 0) & allow_nodes
+                top = jnp.maximum(nsp - 1, 0)
+                ncodes.append(jnp.where(has, nstack[top], jnp.int32(-1)))
+                ntmins.append(jnp.where(has, ntmin[top], jnp.float32(_INF)))
+                nsp = jnp.where(has, nsp - 1, nsp)
+            cvals, ctmins = [], []
+            for _ in range(cluster_pops):
+                chas = csp > 0
+                ctop = jnp.maximum(csp - 1, 0)
+                cvals.append(jnp.where(chas, cstack[ctop], jnp.int32(0)))
+                ctmins.append(jnp.where(chas, ctmin[ctop],
+                                        jnp.float32(_INF)))
+                csp = jnp.maximum(csp - 1, 0)
+            return ncodes, ntmins, cvals, ctmins, nsp, csp
+
+        def node_children_t(c_node, limit):
+            """node_children variant: per-child packet-min entry distance
+            via masked min-reduces (replaces the bitfield any-hit)."""
+            nid = jnp.clip(c_node, 0, num_nodes - 1)
+            row = nodes_ref[pl.ds(nid, 1), :]
+            crow = child_ref[pl.ds(nid, 1), :]
+            ordw = _select_order_word(crow, oct_idx)
+            codes, tmins = [], []
+            for s in range(A):
+                hit_s, tn_s = _slab(row, 6 * s, ox, oy, oz, ix, iy, iz,
+                                    limit)
+                tmins.append(jnp.min(jnp.where(hit_s, tn_s, _INF)))
+                codes.append(crow[0, s])
+            return codes, tmins, ordw
+
+        def push_children_t(codes, tmins, ordw, nsp, csp):
+            for pos in range(A - 1, -1, -1):
+                slot = (ordw >> (4 * pos)) & 15
+                csel = jnp.int32(-1)
+                tsel = jnp.float32(_INF)
+                for s in range(A):
+                    is_s = slot == s
+                    csel = jnp.where(is_s, codes[s], csel)
+                    tsel = jnp.where(is_s, tmins[s], tsel)
+                hsel = tsel < _INF
+                is_node = hsel & (csel >= 0) & (nsp < nstack_depth)
+                cpush = -(csel + 1)
+                is_clus = hsel & (csel < 0) & (cpush > 0) & (
+                    csp < cstack_depth)
+
+                @pl.when(is_node)
+                def _(csel=csel, tsel=tsel, nsp=nsp):
+                    nstack[nsp] = csel
+                    ntmin[nsp] = tsel
+
+                nsp = nsp + is_node.astype(jnp.int32)
+
+                @pl.when(is_clus)
+                def _(cpush=cpush, tsel=tsel, csp=csp):
+                    cstack[csp] = cpush
+                    ctmin[csp] = tsel
+
+                csp = csp + is_clus.astype(jnp.int32)
+            return nsp, csp
 
         def node_children(c_node, limit):
             """Slab-test the A children of node `c_node` against `limit`
@@ -680,6 +767,28 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                     bv = jnp.where(hit, v, bv)
                 return bt, btri, bu, bv
 
+            def body_cull(c):
+                step, nsp, csp, bt, btri, bu, bv = c
+                ncodes, ntmins, cvals, ctmins, nsp, csp = pops_t(nsp, csp)
+                btmax = jnp.max(bt)  # bt only shrinks: start-of-iter is safe
+                for cval, ct in zip(cvals, ctmins):
+                    def do_cluster(args, cval=cval):
+                        block, count = cluster_block(cval)
+                        return closest_cluster(block, count, *args)
+
+                    bt, btri, bu, bv = jax.lax.cond(
+                        ct <= btmax, do_cluster, lambda a: a,
+                        (bt, btri, bu, bv))
+                for c_node, nt in zip(ncodes, ntmins):
+                    def do_node(args, c_node=c_node):
+                        codes, tmins, ordw = node_children_t(c_node, bt)
+                        return push_children_t(codes, tmins, ordw, *args)
+
+                    nsp, csp = jax.lax.cond(
+                        (c_node >= 0) & (nt <= btmax), do_node,
+                        lambda a: a, (nsp, csp))
+                return (step + 1, nsp, csp, bt, btri, bu, bv)
+
             def body(c):
                 step, nsp, csp, bt, btri, bu, bv = c
                 ncodes, cvals, nsp, csp = pops(nsp, csp)
@@ -713,7 +822,8 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
 
             init = (jnp.int32(0), jnp.int32(1), jnp.int32(0),
                     jnp.minimum(tm, _INF), neg1, zeros, zeros)
-            final = jax.lax.while_loop(cond, body, init)
+            final = jax.lax.while_loop(cond, body_cull if t_cull else body,
+                                       init)
             outs[0][0, :, :] = final[3]
             outs[1][0, :, :] = final[4]
             outs[2][0, :, :] = final[5]
@@ -723,12 +833,15 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
 
 
 # knobs for the wide kernel (swept on hardware; see benchmarks/traversal.py:
-# arity8/K16/pops2/group8 measured best on incoherent ray populations).
+# arity4/K16/pops4/group2 measured best on sorted bounce rays — 3.17 vs
+# 1.41 Mrays/s for the round-2-start arity8/group8 — because the visit
+# union of a large group is barely smaller than separate unions, so the
+# dense per-visit work dominates; coherent primaries prefer group 4-8).
 # Stack bounds: nstack holds a DFS frontier <= (arity-1) * tree levels +
 # pops; cstack is drained-before-overflow by the pop throttle.
-NODE_POPS = 2
-CLUSTER_POPS = 2
-GROUP = 8  # super-packet = GROUP * 1024 rays per shared stack
+NODE_POPS = 4
+CLUSTER_POPS = 4
+GROUP = 2  # super-packet = GROUP * 1024 rays per shared stack
 NSTACK_DEPTH = 192
 CSTACK_DEPTH = 1024
 
@@ -756,12 +869,13 @@ def _tile_rays_grouped(ori: Vec3, d: Vec3, t_max: jnp.ndarray, group: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("stack_depth", "node_pops", "group",
-                                    "cluster_pops"))
+                                    "cluster_pops", "t_cull"))
 def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
                             t_max: jnp.ndarray, stack_depth: int = NSTACK_DEPTH,
                             node_pops: int = NODE_POPS,
                             group: int = GROUP,
-                            cluster_pops: int = CLUSTER_POPS) -> HitRecord:
+                            cluster_pops: int = CLUSTER_POPS,
+                            t_cull: bool = False) -> HitRecord:
     rows = SUBLANES * group
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
                                                            group)
@@ -770,7 +884,7 @@ def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
         pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
         any_hit=False, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
         node_pops=node_pops, rows=rows, cluster_pops=cluster_pops,
-        stream_tris=stream)
+        stream_tris=stream, t_cull=t_cull and not stream)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -782,6 +896,9 @@ def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
             pltpu.VMEM((cluster_pops * pack.max_cluster, 16), jnp.float32),
             pltpu.SemaphoreType.DMA((cluster_pops,)),
         ]
+    elif t_cull:
+        scratch += [pltpu.SMEM((stack_depth + 2,), jnp.float32),
+                    pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.float32)]
     out_shape = [
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),

@@ -34,6 +34,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["brute", "bvh", "pallas", "auto"],
                    default="auto", help="ray-cast backend")
     p.add_argument("--denoise", action="store_true", help="SVGF real-time mode")
+    p.add_argument("--env-nee", action="store_true",
+                   help="direct environment sampling via the alias table")
     p.add_argument("--out-dir", default=".", help="output directory")
     p.add_argument("--preview-every", type=int, default=10)
     p.add_argument("--display", choices=["result", "normal", "depth", "albedo", "motion"],
@@ -68,6 +70,7 @@ def main(argv=None) -> int:
         trace_depth=args.depth if args.depth else host.trace_depth,
         iterations=args.iterations if args.iterations else host.iterations,
         denoiser_on=args.denoise,
+        env_nee=args.env_nee,
         display={"result": DisplayMode.RESULT, "normal": DisplayMode.NORMAL,
                  "depth": DisplayMode.DEPTH, "albedo": DisplayMode.ALBEDO,
                  "motion": DisplayMode.MOTION_VECTOR}[args.display],

@@ -84,6 +84,16 @@ class RenderConfig:
     # compacting sort leaves live paths in a dense prefix; the host reads
     # one alive-count scalar per bounce and picks a static prefix variant
     adaptive_pool: bool = True
+    # wide-kernel traversal shape (swept on v5e, benchmarks/traversal.py):
+    # group = 1024-ray packets sharing one stack (bounce rays want small
+    # groups — the visit-union of an 8x group is barely smaller than 8
+    # separate unions, so dense work per visit dominates; coherent
+    # primaries want large groups). pops = stack entries drained per loop
+    # iteration (latency hiding).
+    trav_group: int = 2
+    trav_group_primary: int = 4
+    trav_node_pops: int = 4
+    trav_cluster_pops: int = 4
     # synthetic shading cost for the megakernel-vs-wavefront stress study
     # (reference keeps it as commented code — interactions.cu:255-321)
     heavy_shading_iters: int = 0

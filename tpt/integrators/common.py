@@ -37,7 +37,8 @@ class Raycaster:
     name: str = "brute_force"
 
 
-def make_raycaster(scene: SceneData, cfg: RenderConfig) -> Raycaster:
+def make_raycaster(scene: SceneData, cfg: RenderConfig,
+                   primary_rays: bool = False) -> Raycaster:
     if cfg.backend == RayCastBackend.BRUTE_FORCE or scene.bvh is None:
         return Raycaster(
             closest_hit=lambda o, d, t_max=None: brute_force_closest_hit(scene.mesh, o, d, t_max),
@@ -47,9 +48,15 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig) -> Raycaster:
     if cfg.backend == RayCastBackend.BVH_PALLAS:
         from ..bvh.pallas_traverse import pallas_closest_hit, pallas_any_hit
 
+        knobs = dict(group=primary_rays and cfg.trav_group_primary
+                     or cfg.trav_group,
+                     node_pops=cfg.trav_node_pops,
+                     cluster_pops=cfg.trav_cluster_pops)
         return Raycaster(
-            closest_hit=lambda o, d, t_max=None: pallas_closest_hit(scene.mesh, scene.pack, o, d, t_max),
-            any_hit=lambda o, d, t_max: pallas_any_hit(scene.mesh, scene.pack, o, d, t_max),
+            closest_hit=lambda o, d, t_max=None: pallas_closest_hit(
+                scene.mesh, scene.pack, o, d, t_max, **knobs),
+            any_hit=lambda o, d, t_max: pallas_any_hit(
+                scene.mesh, scene.pack, o, d, t_max, **knobs),
             name="bvh_pallas",
         )
     from ..bvh.traverse import bvh_closest_hit, bvh_any_hit

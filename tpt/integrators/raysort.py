@@ -60,6 +60,32 @@ def coherence_key(ori: Vec3, d: Vec3, world_lo: Vec3, world_inv: Vec3,
         qz = _interleave7(_quantize(ori.z, world_lo.z, world_inv.z, 7))
         morton = (qx << 2) | (qy << 1) | qz
         return ((morton << 3) | octant).astype(jnp.int32)
+    if mode.startswith("oct"):
+        # octahedral direction code (bits/axis from the mode suffix, e.g.
+        # "oct4" = 4+4 bits ≈ 256 cones of ~13°): finer cones than the
+        # octant modes, at the cost of origin-morton bits below
+        b = int(mode[3:] or 4)
+        s = jnp.abs(d.x) + jnp.abs(d.y) + jnp.abs(d.z)
+        px = d.x / jnp.maximum(s, 1e-20)
+        py = d.y / jnp.maximum(s, 1e-20)
+        lower = d.z < 0
+        ox_ = jnp.where(lower, (1 - jnp.abs(py)) * jnp.sign(px), px)
+        oy_ = jnp.where(lower, (1 - jnp.abs(px)) * jnp.sign(py), py)
+        qu = jnp.clip(((ox_ * 0.5 + 0.5) * (1 << b)).astype(jnp.int32),
+                      0, (1 << b) - 1).astype(jnp.uint32)
+        qv = jnp.clip(((oy_ * 0.5 + 0.5) * (1 << b)).astype(jnp.int32),
+                      0, (1 << b) - 1).astype(jnp.uint32)
+        code = (qu << b) | qv
+        mb = min(30 - 2 * b, 18)  # origin-morton bits below the dir code
+        per = mb // 3
+        qx = _quantize(ori.x, world_lo.x, world_inv.x, per).astype(jnp.uint32)
+        qy = _quantize(ori.y, world_lo.y, world_inv.y, per).astype(jnp.uint32)
+        qz = _quantize(ori.z, world_lo.z, world_inv.z, per).astype(jnp.uint32)
+        from ..bvh.build import _expand_bits
+
+        morton = ((_expand_bits(qx) << 2) | (_expand_bits(qy) << 1)
+                  | _expand_bits(qz))
+        return ((code << (3 * per)) | morton).astype(jnp.int32)
     # dir_major: refine each octant by the dominant |component| sign bitting
     ax = (jnp.abs(d.x) > 0.5).astype(jnp.uint32)
     ay = (jnp.abs(d.y) > 0.5).astype(jnp.uint32)

@@ -134,6 +134,8 @@ def _sort_pool(scene, cfg, carry_slice, first):
                 lp, st, al != 0, Vec3(drx, dry, drz), Vec3(inx, iny, inz),
                 pidx)
 
+    if first is False:  # statically known non-first bounce: always sort
+        return do_sort(carry_slice)
     return jax.lax.cond(first, lambda a: a, do_sort, carry_slice)
 
 
@@ -147,11 +149,17 @@ def unsort_by_pixel(pixel_idx, direct: Vec3, indirect: Vec3):
 
 
 def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
-                 cfg: RenderConfig, view_proj, prev_view_proj, depth, carry):
+                 cfg: RenderConfig, view_proj, prev_view_proj, depth, carry,
+                 first_static: Optional[bool] = None):
     """One wavefront bounce over the full path pool (shared by the fused
     fori_loop frame, the split per-dispatch execution, and the shard_map
     multi-chip step — lane count comes from the carry, so a per-device
-    shard of the path pool works unchanged)."""
+    shard of the path pool works unchanged).
+
+    `first_static` specializes the first-bounce branches at trace time
+    (split mode knows depth on the host): True drops the sort program and
+    always writes G-buffers; False drops the G-buffer write. None keeps
+    the traced `depth == 0` conds (fused fori_loop mode)."""
     w, h = cam.resolution
     has_lights = scene.lights.num_lights > 0
 
@@ -163,13 +171,15 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
         (ori, direction, throughput, last_pdf, state, alive,
          direct, indirect, pixel_idx, gbuf, rays) = carry
         n = ori.shape[0]
-        first = depth == 0
+        first = (depth == 0) if first_static is None else jnp.bool_(
+            first_static)
 
-        if do_sort:
+        if do_sort and first_static is not True:
             (ori, direction, throughput, last_pdf, state, alive, direct,
              indirect, pixel_idx) = _sort_pool(
                 scene, cfg, (ori, direction, throughput, last_pdf, state,
-                             alive, direct, indirect, pixel_idx), first)
+                             alive, direct, indirect, pixel_idx),
+                first if first_static is None else False)
 
         # ---- TraceExtensionRay stage -------------------------------------
         # dead lanes get t_max=-1 so their packets fail even root boxes
@@ -216,7 +226,10 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             return GBuffers(depth=depth_b, normal=normal_b, mat_id=matid_b,
                             albedo=albedo_b, motion_u=mu, motion_v=mv)
 
-        gbuf = jax.lax.cond(first, write_gbuf, lambda g: g, gbuf)
+        if first_static is None:
+            gbuf = jax.lax.cond(first, write_gbuf, lambda g: g, gbuf)
+        elif first_static:
+            gbuf = write_gbuf(gbuf)
         alive = alive & hit.hit_mask
 
         # emissive hit -> MIS -> indirect, kill
@@ -373,6 +386,7 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
     from ..config import RayCastBackend
 
     raycaster = make_raycaster(scene, cfg)
+    raycaster_primary = make_raycaster(scene, cfg, primary_rays=True)
     vp = camera_view_proj(cam)
     if split_bounces is None:
         split_bounces = cfg.backend == RayCastBackend.BVH_PALLAS
@@ -394,7 +408,8 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
         ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
         return init_carry(cfg, ori, direction, state)
 
-    bounce_fn = _make_bounce_fn(scene, raycaster, cam, cfg, vp)
+    bounce_fn = _make_bounce_fn(scene, raycaster, cam, cfg, vp,
+                                raycaster_primary=raycaster_primary)
 
     @jax.jit
     def finish(carry, acc_direct, acc_indirect):
@@ -480,16 +495,35 @@ def do_adaptive_pool(cfg: RenderConfig) -> bool:
 
 
 def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
-                    cfg: RenderConfig, view_proj):
-    """One jitted wavefront bounce over the (possibly sliced) path pool
-    (split mode). Returns (carry', alive_count) — the scalar count is the
-    4-byte per-bounce readback driving adaptive pool shrinking."""
+                    cfg: RenderConfig, view_proj,
+                    raycaster_primary: Optional[Raycaster] = None):
+    """One wavefront bounce over the (possibly sliced) path pool (split
+    mode). Returns (carry', alive_count) — the scalar count is the 4-byte
+    per-bounce readback driving adaptive pool shrinking.
+
+    Depth is known on the host in split mode, so bounce 0 gets its own
+    program: the primary-tuned traversal kernel (large packet group —
+    raster rays are coherent), no sort, unconditional G-buffer write."""
+    ray0 = raycaster_primary or raycaster
 
     @jax.jit
-    def one_bounce(depth, prev_view_proj, carry):
-        out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
-                           prev_view_proj, depth, carry)
+    def bounce_first(prev_view_proj, carry):
+        out = _bounce_body(scene, ray0, cam, cfg, view_proj,
+                           prev_view_proj, jnp.int32(0), carry,
+                           first_static=True)
         return out, jnp.sum(out[5].astype(jnp.int32))
+
+    @jax.jit
+    def bounce_rest(depth, prev_view_proj, carry):
+        out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                           prev_view_proj, depth, carry,
+                           first_static=False)
+        return out, jnp.sum(out[5].astype(jnp.int32))
+
+    def one_bounce(depth, prev_view_proj, carry):
+        if int(depth) == 0:
+            return bounce_first(prev_view_proj, carry)
+        return bounce_rest(jnp.int32(depth), prev_view_proj, carry)
 
     return one_bounce
 

@@ -63,16 +63,16 @@ class HostScene:
     STREAM_TRIS_BYTES = 48 * 1024 * 1024
 
     def build(self, with_bvh: bool = False, bvh_builder: str = "auto",
-              max_cluster: int = 16, packet_arity: int = 8,
+              max_cluster: int = 16, packet_arity: int = 4,
               stream_tris: "bool | str" = "auto") -> SceneData:
         """Upload everything to device pytrees; optionally build the BVH.
 
         bvh_builder: "sah" (native C++ binned SAH — better traversal),
         "lbvh" (on-device morton/Karras build), or "auto" (SAH when the
         native library is available). packet_arity 4/8 selects the
-        wide-node packet layout (the measured sweet spot is arity 8 with
-        16-triangle clusters — benchmarks/traversal.py); 2 keeps the
-        binary packet layout. stream_tris True (or "auto" beyond
+        wide-node packet layout (the measured sweet spot is arity 4 with
+        16-triangle clusters at packet group 2 — benchmarks/traversal.py);
+        2 keeps the binary packet layout. stream_tris True (or "auto" beyond
         STREAM_TRIS_BYTES) leaves the triangle table in HBM and the
         Pallas kernel DMA-streams each cluster — removes the VMEM
         ceiling on scene size."""
