@@ -62,7 +62,7 @@ class TestLights:
 
         data = scene.build()
         state = rng.path_seed(jnp.arange(4096, dtype=jnp.uint32), 1)
-        state, p, n, pdf, tri = sample_light(data.mesh, data.lights, state)
+        state, p, n, pdf, tri, le = sample_light(data.mesh, data.lights, state)
         # all samples on the light plane y=548
         np.testing.assert_allclose(np.asarray(p.y), 548.0, atol=1e-3)
         assert np.all(np.asarray(p.x) >= 213 - 1e-3)

@@ -83,8 +83,12 @@ if __name__ == "__main__":
 class TestRaySorting:
     def test_sorted_pool_matches_unsorted(self):
         """The persistent coherence sort (sort_bounce_rays) must not change
-        any pixel: per-lane math is order-independent and the end-of-frame
-        unsort restores pixel order exactly — bit-identical frames."""
+        the render: per-lane math is order-independent and the end-of-frame
+        unsort restores pixel order exactly. The two configs compile to
+        different XLA graphs, so fusion may contract different FMA chains
+        in the packed-row shading lerp — allow 1-ulp drift, nothing more
+        (a real sort/unsort bug shifts whole pixels, orders of magnitude
+        beyond this tolerance)."""
         scene = procedural.cornell_box(resolution=(32, 32), spheres=True)
         data = scene.build(with_bvh=True)
         img_sorted = wavefront.render(
@@ -95,7 +99,8 @@ class TestRaySorting:
             data, scene.camera,
             RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=3,
                          sort_bounce_rays=False), iterations=2)
-        np.testing.assert_array_equal(img_sorted, img_plain)
+        np.testing.assert_allclose(img_sorted, img_plain,
+                                   rtol=1e-6, atol=2e-7)
 
     def test_wavefront_pallas_sorted_render(self):
         """Full wavefront frame through the Pallas backend (interpret mode)

@@ -109,69 +109,82 @@ def _make_kernel(h: int, w: int, wp: int, radius: int):
                 hist_refs[p].at[pl.ds(y0, rows_win), :],
                 scratch.at[p], sems.at[p]).wait()
 
-        # ---- row phase: per-lane row select (two rows: y0f and y0f+1) ----
-        row_masks = {a: ry_c == a for a in range(-R, R)}
-        rowsel = []  # [channel][corner_j] -> (BAND, wp)
-        for p in range(N_HIST):
-            acc0 = jnp.zeros((BAND, wp))
-            acc1 = jnp.zeros((BAND, wp))
-            for a in range(-R, R):
-                # window row for output row r with offset a: r + R + a
-                sl0 = scratch[p, R + a:R + a + BAND, :]
-                sl1 = scratch[p, R + a + 1:R + a + 1 + BAND, :]
-                m = row_masks[a]
-                acc0 = jnp.where(m, sl0, acc0)
-                acc1 = jnp.where(m, sl1, acc1)
-            rowsel.append((acc0, acc1))
+        zeros = jnp.zeros((BAND, wp))
 
-        # ---- column phase + corner accumulation ---------------------------
-        sums = {k: jnp.zeros((BAND, wp)) for k in DATA_KEYS}
-        wsum = jnp.zeros((BAND, wp))
+        def tap_channel(p):
+            """4 corner taps of history plane p. Both phases are
+            fori_loops (dynamic-shift rolls), so the live set stays ~8
+            tiles regardless of R — the fully unrolled form spilled ~1100
+            (BAND, wp) temporaries to scoped VMEM at 1080p (283 MB > the
+            128 MB space) and OOM'd. Dynamic *slices* of the scratch rows
+            are not an option either (Mosaic requires provably 8-aligned
+            sublane starts), so the row phase rolls the whole window along
+            axis 0 and statically slices row 0 — one roll per offset feeds
+            both the y0f and the y0f+1 corner rows."""
+            win = scratch[p]  # (rows_win, wp)
 
-        col_masks = {b: rx_c == b for b in range(-R, R + 1)}
-        # build the 4 corner taps channel-by-channel via shared rolls
-        taps = [[None] * N_HIST for _ in range(4)]  # corner = j*2+i
-        for p in range(N_HIST):
-            for j in (0, 1):
-                base = rowsel[p][j]
-                t0 = jnp.zeros((BAND, wp))
-                t1 = jnp.zeros((BAND, wp))
-                for b in range(-R, R + 1):
-                    rolled = pltpu.roll(base, (-b) % wp, 1)
-                    if b in col_masks and b <= R - 1:
-                        t0 = jnp.where(col_masks[b], rolled, t0)
-                    if (b - 1) >= -R:
-                        t1 = jnp.where(col_masks[b - 1], rolled, t1)
-                taps[j * 2 + 0][p] = t0
-                taps[j * 2 + 1][p] = t1
+            # row phase: rolled[r] = win[r + a] (no wrap for r < BAND);
+            # window row for output row r with offset o is r + R + o
+            def row_body(a, carry):
+                acc0, acc1 = carry
+                rolled = pltpu.roll(win, jnp.mod(rows_win - a, rows_win), 0)
+                sl = rolled[0:BAND]
+                off = a - R
+                return (jnp.where(ry_c == off, sl, acc0),
+                        jnp.where(ry_c == off - 1, sl, acc1))
 
+            acc0, acc1 = jax.lax.fori_loop(
+                0, 2 * R + 1, row_body, (zeros, zeros))
+
+            # column phase: shared dynamic rolls feed both x and x+1
+            # corners (rx_c == R / == -R-1 never hold, masking the loop
+            # edges for free)
+            def col_body(b, carry):
+                t00, t01, t10, t11 = carry
+                off = b - R
+                shift = jnp.mod(-off, wp)
+                m0 = rx_c == off
+                m1 = rx_c == off - 1
+                r0 = pltpu.roll(acc0, shift, 1)
+                r1 = pltpu.roll(acc1, shift, 1)
+                return (jnp.where(m0, r0, t00), jnp.where(m1, r0, t01),
+                        jnp.where(m0, r1, t10), jnp.where(m1, r1, t11))
+
+            t00, t01, t10, t11 = jax.lax.fori_loop(
+                0, 2 * R + 1, col_body, (zeros, zeros, zeros, zeros))
+            return (t00, t01, t10, t11)  # corner = j * 2 + i
+
+        # ---- guide channels -> per-corner consistency weights -------------
+        guides = {g: tap_channel(HIST.index(g))
+                  for g in ("pnx", "pny", "pnz", "pdepth", "pmatid")}
+        wvs = []
+        wsum = zeros
         for j in (0, 1):
             for i in (0, 1):
-                corner = taps[j * 2 + i]
+                c = j * 2 + i
                 tx = x0f + i
                 ty = y0f + j
                 wbil = (jnp.where(i, fx, 1.0 - fx)
                         * jnp.where(j, fy, 1.0 - fy))
                 inb = ((tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
                        & ry_ok & rx_ok)
-                tnx = corner[HIST.index("pnx")]
-                tny = corner[HIST.index("pny")]
-                tnz = corner[HIST.index("pnz")]
-                td = corner[HIST.index("pdepth")]
-                tmat = corner[HIST.index("pmatid")]
                 consistent = (
                     inb & (wbil > 1e-6)
-                    & (nx * tnx + ny * tny + nz * tnz > 0.95)
-                    & (jnp.abs(depth - td) < 2.0)
-                    & (matid == tmat)
+                    & (nx * guides["pnx"][c] + ny * guides["pny"][c]
+                       + nz * guides["pnz"][c] > 0.95)
+                    & (jnp.abs(depth - guides["pdepth"][c]) < 2.0)
+                    & (matid == guides["pmatid"][c])
                 )
                 wv = jnp.where(consistent, wbil, 0.0)
+                wvs.append(wv)
                 wsum = wsum + wv
-                for k in DATA_KEYS:
-                    sums[k] = sums[k] + wv * corner[HIST.index(k)]
+        del guides
 
+        # ---- data channels streamed one at a time --------------------------
         for o, k in enumerate(DATA_KEYS):
-            out_refs[o][:, :] = sums[k]
+            taps = tap_channel(HIST.index(k))
+            out_refs[o][:, :] = (wvs[0] * taps[0] + wvs[1] * taps[1]
+                                 + wvs[2] * taps[2] + wvs[3] * taps[3])
         out_refs[len(DATA_KEYS)][:, :] = wsum
 
     return kernel

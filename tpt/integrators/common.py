@@ -131,6 +131,84 @@ def apply_material_textures(mats: MaterialLanes, atlas: TextureAtlas, uu, vv
     )
 
 
+def fetch_hit_surface(scene, tri, bu, bv, wo: Vec3):
+    """Fused hit-surface fetch over the packed shading rows (MeshData.
+    shade_tri/shade_vtx + MaterialTable.packed): 5 row-gathers replace the
+    ~35 per-field gathers of the unpacked path (each 2M-lane gather costs
+    ~30 ms on v5e regardless of width — the gather COUNT is the cost).
+    Atlas sampling graphs are dropped at trace time when no material
+    carries that texture slot (MaterialTable.any_tex_*).
+
+    Returns (mats_tex, n_shading, ng_raw, ng_oriented, mat_id, uu, vv) —
+    semantics identical to the gather_materials + get_surface_properties +
+    apply_material_textures + oriented_geom_normal chain (tests pin
+    equality)."""
+    from ..materials.bsdf import gather_materials
+
+    mesh = scene.mesh
+    tric = jnp.maximum(tri, 0)
+    trow = jnp.take(mesh.shade_tri, tric, axis=0, mode="clip")
+    as_int = lambda c: jax.lax.bitcast_convert_type(c, jnp.int32)
+    i0 = as_int(trow[:, 0])
+    i1 = as_int(trow[:, 1])
+    i2 = as_int(trow[:, 2])
+    mat_id = as_int(trow[:, 3])
+    ng_raw = Vec3(trow[:, 4], trow[:, 5], trow[:, 6])
+    flip = ng_raw.dot(wo) < 0.0
+    ng = vwhere(flip, -1.0 * ng_raw, ng_raw)
+
+    r0 = jnp.take(mesh.shade_vtx, i0, axis=0, mode="clip")
+    r1 = jnp.take(mesh.shade_vtx, i1, axis=0, mode="clip")
+    r2 = jnp.take(mesh.shade_vtx, i2, axis=0, mode="clip")
+    w = 1.0 - bu - bv
+    lerp = lambda c: r0[:, c] * w + r1[:, c] * bu + r2[:, c] * bv
+    n_shading = Vec3(lerp(0), lerp(1), lerp(2)).normalize()
+    tang = Vec3(lerp(3), lerp(4), lerp(5))
+    uu = lerp(6)
+    vv = lerp(7)
+
+    mats = gather_materials(scene.materials, mat_id)
+
+    # normal mapping (TBN as get_surface_properties)
+    if scene.materials.any_tex_normal:
+        has_nm = mats.tex_normal >= 0
+        b = n_shading.cross(tang).normalize()
+        t = b.cross(n_shading)
+        nm_rgb, _ = sample_atlas(scene.atlas, mats.tex_normal, uu, vv)
+        mapped = Vec3(nm_rgb.x * 2.0 - 1.0, nm_rgb.y * 2.0 - 1.0,
+                      nm_rgb.z * 2.0 - 1.0)
+        n_mapped = (t * mapped.x + b * mapped.y
+                    + n_shading * mapped.z).normalize()
+        n_out = vwhere(has_nm, n_mapped, n_shading)
+    else:
+        n_out = n_shading
+
+    # material textures (apply_material_textures, statically gated)
+    basecolor, roughness, metallic = (mats.basecolor, mats.roughness,
+                                      mats.metallic)
+    if scene.materials.any_tex_diffuse:
+        diff_rgb, _ = sample_atlas(scene.atlas, mats.tex_diffuse, uu, vv)
+        has_diff = mats.tex_diffuse >= 0
+        degamma = Vec3(diff_rgb.x ** 2.2, diff_rgb.y ** 2.2,
+                       diff_rgb.z ** 2.2)
+        basecolor = vwhere(has_diff, basecolor * degamma, basecolor)
+    if scene.materials.any_tex_mr:
+        rm_rgb, _ = sample_atlas(scene.atlas, mats.tex_metallic_roughness,
+                                 uu, vv)
+        has_rm = mats.tex_metallic_roughness >= 0
+        roughness = jnp.where(has_rm, roughness * rm_rgb.y, roughness)
+        metallic = jnp.where(has_rm, metallic * rm_rgb.z, metallic)
+
+    mats_tex = MaterialLanes(
+        basecolor=basecolor, metallic=metallic, roughness=roughness,
+        emittance=mats.emittance, ior=mats.ior, mtype=mats.mtype,
+        tex_diffuse=mats.tex_diffuse,
+        tex_metallic_roughness=mats.tex_metallic_roughness,
+        tex_normal=mats.tex_normal,
+    )
+    return mats_tex, n_out, ng_raw, ng, mat_id, uu, vv
+
+
 def heavy_shading_factor(u: jnp.ndarray, iters: int) -> jnp.ndarray:
     """Synthetic shading load: an `iters`-long sin^2+cos^2 chain that
     multiplies to ~1.0 — the reference's Phase-II stress experiment

@@ -25,13 +25,7 @@ from ..materials import bsdf
 from ..scene import envmap as envmod
 from ..scene.lights import sample_light
 from ..scene.structs import SceneData
-from .common import (
-    Raycaster,
-    apply_material_textures,
-    get_surface_properties,
-    make_raycaster,
-    oriented_geom_normal,
-)
+from .common import Raycaster, fetch_hit_surface, make_raycaster
 from .intersect import FLT_MAX
 
 
@@ -73,14 +67,10 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
                 miss_mask, throughput * env_l * w_mis, Vec3.zeros((n,)))
         alive = alive & hit.hit_mask
 
-        # ---- surface fetch ----------------------------------------------------
-        mats = bsdf.gather_materials(scene.materials, jnp.take(
-            scene.mesh.material_ids, jnp.maximum(hit.tri, 0), mode="clip"))
-        n_sh, uu, vv = get_surface_properties(
-            scene.mesh, scene.atlas, mats, hit.tri, hit.u, hit.v)
-        mats = apply_material_textures(mats, scene.atlas, uu, vv)
+        # ---- surface fetch (fused packed-row gathers) ---------------------------
         wo = -1.0 * direction
-        ng = oriented_geom_normal(scene.mesh, hit.tri, wo)
+        mats, n_sh, _ng_raw, ng, _matid, uu, vv = fetch_hit_surface(
+            scene, hit.tri, hit.u, hit.v, wo)
         point = ori + direction * hit.t
 
         # ---- emissive hit (MIS vs NEE) -----------------------------------------
@@ -101,7 +91,8 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
         # ---- NEE ----------------------------------------------------------------
         if has_lights:
-            state, lp, ln, pdf_area, ltri = sample_light(scene.mesh, scene.lights, state)
+            state, lp, ln, pdf_area, ltri, le = sample_light(
+                scene.mesh, scene.lights, state)
             to_l = lp - point
             dist = to_l.length()
             wi_l = to_l * (1.0 / jnp.maximum(dist, 1e-20))
@@ -110,10 +101,11 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
             cos_l = jnp.maximum(ln.dot(-1.0 * wi_l), 0.0)
             front = ng.dot(wi_l) > 0.0
 
-            lmat = bsdf.gather_materials(
-                scene.materials,
-                jnp.take(scene.mesh.material_ids, ltri, mode="clip"))
-            le = lmat.basecolor * lmat.emittance
+            if le is None:
+                lmat = bsdf.gather_materials(
+                    scene.materials,
+                    jnp.take(scene.mesh.material_ids, ltri, mode="clip"))
+                le = lmat.basecolor * lmat.emittance
             f = bsdf.eval_bsdf(wo, wi_l, n_sh, mats)
             pdf_b = bsdf.pdf_bsdf(wo, wi_l, n_sh, mats)
             pdf_l_sa = pdf_area * dist_sq / jnp.maximum(cos_l, 1e-20)

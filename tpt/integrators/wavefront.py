@@ -53,13 +53,7 @@ from ..materials import bsdf
 from ..scene import envmap as envmod
 from ..scene.lights import sample_light
 from ..scene.structs import SceneData
-from .common import (
-    Raycaster,
-    apply_material_textures,
-    get_surface_properties,
-    make_raycaster,
-    oriented_geom_normal,
-)
+from .common import Raycaster, fetch_hit_surface, make_raycaster
 
 
 # smallest adaptive-pool prefix variant (each size compiles its own XLA
@@ -190,14 +184,9 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
         rays = rays + jnp.sum(alive.astype(jnp.int32))
 
         # ---- Logic stage ----------------------------------------------------
-        mats = bsdf.gather_materials(scene.materials, jnp.take(
-            scene.mesh.material_ids, jnp.maximum(hit.tri, 0), mode="clip"))
-        n_sh, uu, vv = get_surface_properties(
-            scene.mesh, scene.atlas, mats, hit.tri, hit.u, hit.v)
-        mats_tex = apply_material_textures(mats, scene.atlas, uu, vv)
         wo = -1.0 * direction
-        ng_raw = scene.mesh.geom_normals.take(jnp.maximum(hit.tri, 0))
-        ng = oriented_geom_normal(scene.mesh, hit.tri, wo)
+        (mats_tex, n_sh, ng_raw, ng, hit_matid, uu, vv) = fetch_hit_surface(
+            scene, hit.tri, hit.u, hit.v, wo)
         point = ori + direction * hit.t
 
         # miss -> environment into indirect
@@ -216,8 +205,7 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             sky = miss
             depth_b = jnp.where(sky, -1000.0, hit.t)
             normal_b = vwhere(sky, Vec3.zeros((n,)), ng_raw)
-            matid_b = jnp.where(sky, -1, jnp.take(
-                scene.mesh.material_ids, jnp.maximum(hit.tri, 0), mode="clip"))
+            matid_b = jnp.where(sky, -1, hit_matid)
             albedo_b = vwhere(sky, Vec3.ones((n,)), mats_tex.basecolor)
             u_c, v_c, ok_c = project_to_screen_uv(point, view_proj)
             u_p, v_p, ok_p = project_to_screen_uv(point, prev_view_proj)
@@ -250,7 +238,7 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
         # ---- Shade stage: NEE -> ShadowQueue analogue ----------------------
         if has_lights:
-            state, lp, ln, pdf_area, ltri = sample_light(
+            state, lp, ln, pdf_area, ltri, le = sample_light(
                 scene.mesh, scene.lights, state)
             to_l = lp - point
             dist = to_l.length()
@@ -259,10 +247,11 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             cos_surf = jnp.maximum(n_sh.dot(wi_l), 0.0)
             cos_l = jnp.maximum(ln.dot(-1.0 * wi_l), 0.0)
             front = ng.dot(wi_l) > 0.0
-            lmat = bsdf.gather_materials(
-                scene.materials,
-                jnp.take(scene.mesh.material_ids, ltri, mode="clip"))
-            le = lmat.basecolor * lmat.emittance
+            if le is None:
+                lmat = bsdf.gather_materials(
+                    scene.materials,
+                    jnp.take(scene.mesh.material_ids, ltri, mode="clip"))
+                le = lmat.basecolor * lmat.emittance
             f = bsdf.eval_bsdf(wo, wi_l, n_sh, mats_tex)
             pdf_b = bsdf.pdf_bsdf(wo, wi_l, n_sh, mats_tex)
             pdf_l_sa = pdf_area * dist_sq / jnp.maximum(cos_l, 1e-20)

@@ -59,6 +59,21 @@ class MaterialLanes:
 
 def gather_materials(table: MaterialTable, mat_id: jnp.ndarray) -> MaterialLanes:
     idx = jnp.clip(mat_id, 0, table.num_materials - 1)
+    if table.packed is not None:
+        # one [M, 16] row-gather instead of 9 per-field gathers (a 2M-lane
+        # gather costs ~30 ms on v5e regardless of payload width)
+        row = jnp.take(table.packed, idx, axis=0, mode="clip")
+        return MaterialLanes(
+            basecolor=Vec3(row[:, 0], row[:, 1], row[:, 2]),
+            metallic=row[:, 3],
+            roughness=row[:, 4],
+            emittance=row[:, 5],
+            ior=row[:, 6],
+            mtype=row[:, 7].astype(jnp.int32),
+            tex_diffuse=row[:, 8].astype(jnp.int32),
+            tex_metallic_roughness=row[:, 9].astype(jnp.int32),
+            tex_normal=row[:, 10].astype(jnp.int32),
+        )
     return MaterialLanes(
         basecolor=table.basecolor.take(idx),
         metallic=jnp.take(table.metallic, idx, mode="clip"),

@@ -77,7 +77,19 @@ class HostScene:
         Pallas kernel DMA-streams each cluster — removes the VMEM
         ceiling on scene size."""
         mats = self.materials or [HostMaterial()]
+        mat_packed = np.zeros((len(mats), 16), np.float32)
+        for i, m in enumerate(mats):
+            mat_packed[i, 0:3] = m.basecolor
+            mat_packed[i, 3:8] = (m.metallic, m.roughness, m.emittance,
+                                  m.ior, float(int(m.mtype)))
+            mat_packed[i, 8:11] = (float(m.tex_diffuse),
+                                   float(m.tex_metallic_roughness),
+                                   float(m.tex_normal))
         table = MaterialTable(
+            packed=jnp.asarray(mat_packed),
+            any_tex_diffuse=any(m.tex_diffuse >= 0 for m in mats),
+            any_tex_mr=any(m.tex_metallic_roughness >= 0 for m in mats),
+            any_tex_normal=any(m.tex_normal >= 0 for m in mats),
             basecolor=Vec3.from_stacked(
                 jnp.asarray(np.array([m.basecolor for m in mats], np.float32))
             ),
@@ -93,6 +105,28 @@ class HostScene:
             tex_normal=jnp.asarray(np.array([m.tex_normal for m in mats], np.int32)),
         )
         lights = build_light_cdf(self.mesh, self.emittances())
+        if lights.num_lights > 0:
+            import dataclasses
+
+            ltri = np.asarray(lights.tri_idx)
+            idx = self.mesh.indices[ltri]              # [L, 3]
+            vp = self.mesh.positions
+            v0, v1, v2 = vp[idx[:, 0]], vp[idx[:, 1]], vp[idx[:, 2]]
+            ln = np.cross(v1 - v0, v2 - v0)
+            ln /= np.maximum(np.linalg.norm(ln, axis=-1, keepdims=True),
+                             1e-20)
+            lmid = self.mesh.material_ids[ltri]
+            le = np.array([np.float32(mats[i].basecolor)
+                           * np.float32(mats[i].emittance) for i in lmid],
+                          np.float32)
+            lpacked = np.zeros((ltri.shape[0], 16), np.float32)
+            lpacked[:, 0:3] = v0
+            lpacked[:, 3:6] = v1
+            lpacked[:, 6:9] = v2
+            lpacked[:, 9:12] = ln
+            lpacked[:, 12:15] = le
+            lights = dataclasses.replace(lights,
+                                         packed=jnp.asarray(lpacked))
         mesh = finalize_mesh(self.mesh)
         atlas = self.atlas.build()
         env = self.env_map if self.env_map is not None else EnvMap.disabled()

@@ -62,14 +62,25 @@ def sample_light(mesh: MeshData, lights: LightData, state: jnp.ndarray):
     ).astype(jnp.int32)
     tri = jnp.take(lights.tri_idx, cdf_idx, mode="clip")
 
-    v0, v1, v2 = mesh.tri_vertices(tri)
-
     sqrt_r2 = jnp.sqrt(r2)
     b_u = 1.0 - sqrt_r2
     b_v = r3 * sqrt_r2
     b_w = 1.0 - b_u - b_v
-    point = v0 * b_u + v1 * b_v + v2 * b_w
-    normal = (v1 - v0).cross(v2 - v0).normalize()
 
+    if lights.packed is not None:
+        # one [L, 16] row-gather replaces tri_idx->vertex-index->position
+        # chains AND the light-material fetch (precomputed Le columns)
+        row = jnp.take(lights.packed, cdf_idx, axis=0, mode="clip")
+        v0 = Vec3(row[:, 0], row[:, 1], row[:, 2])
+        v1 = Vec3(row[:, 3], row[:, 4], row[:, 5])
+        v2 = Vec3(row[:, 6], row[:, 7], row[:, 8])
+        normal = Vec3(row[:, 9], row[:, 10], row[:, 11])
+        le = Vec3(row[:, 12], row[:, 13], row[:, 14])
+    else:
+        v0, v1, v2 = mesh.tri_vertices(tri)
+        normal = (v1 - v0).cross(v2 - v0).normalize()
+        le = None
+
+    point = v0 * b_u + v1 * b_v + v2 * b_w
     pdf_area = jnp.full(jnp.shape(r1), 1.0) / jnp.maximum(lights.total_area, 1e-20)
-    return state, point, normal, pdf_area, tri
+    return state, point, normal, pdf_area, tri, le

@@ -146,6 +146,21 @@ def merge_meshes(meshes: List[HostMesh]) -> HostMesh:
 def finalize_mesh(m: HostMesh) -> MeshData:
     """Upload a HostMesh to the device MeshData pytree."""
     geo_n = compute_geometric_normals(m.positions, m.indices)
+
+    # packed shading rows (structs.MeshData docstring): int32 indices ride
+    # in float32 rows via bit-cast, recovered exactly in the shader
+    t = m.indices.shape[0]
+    v = m.positions.shape[0]
+    shade_tri = np.zeros((t, 8), np.float32)
+    shade_tri[:, 0:3] = m.indices.astype(np.int32).view(np.float32)
+    shade_tri[:, 3] = m.material_ids.astype(np.int32).view(np.float32)
+    shade_tri[:, 4:7] = geo_n
+    shade_vtx = np.zeros((v, 8), np.float32)
+    shade_vtx[:, 0:3] = m.normals
+    shade_vtx[:, 3:6] = m.tangents
+    shade_vtx[:, 6] = m.uvs[:, 0]
+    shade_vtx[:, 7] = m.uvs[:, 1]
+
     return MeshData(
         positions=Vec3.from_stacked(jnp.asarray(m.positions)),
         normals=Vec3.from_stacked(jnp.asarray(m.normals)),
@@ -157,4 +172,6 @@ def finalize_mesh(m: HostMesh) -> MeshData:
         i2=jnp.asarray(m.indices[:, 2]),
         material_ids=jnp.asarray(m.material_ids),
         geom_normals=Vec3.from_stacked(jnp.asarray(geo_n)),
+        shade_tri=jnp.asarray(shade_tri),
+        shade_vtx=jnp.asarray(shade_vtx),
     )

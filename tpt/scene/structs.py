@@ -44,6 +44,13 @@ class MeshData:
     i2: jnp.ndarray
     material_ids: jnp.ndarray   # [T] int32
     geom_normals: Vec3          # [T] geometric (face) normals
+    # packed shading rows: ONE row-gather fetches what would otherwise be
+    # ~8 scalar gathers (a 2M-lane gather costs ~30 ms on v5e regardless
+    # of payload width — benchmarks/primitives.py; same design as SVGF's
+    # packed history matrix)
+    shade_tri: jnp.ndarray = None  # [T, 8] f32: i0,i1,i2,matid (int32
+    #                                bit-cast), geom normal xyz, pad
+    shade_vtx: jnp.ndarray = None  # [V, 8] f32: normal xyz, tangent xyz, u, v
 
     @property
     def num_triangles(self) -> int:
@@ -76,6 +83,15 @@ class MaterialTable:
     tex_diffuse: jnp.ndarray    # [M] int32 atlas texture id, -1 = none
     tex_metallic_roughness: jnp.ndarray  # [M] int32
     tex_normal: jnp.ndarray     # [M] int32
+    # [M, 16] f32: basecolor xyz, metallic, roughness, emittance, ior,
+    # mtype, tex_d, tex_mr, tex_n (ints bit-cast), pad — one row-gather
+    # replaces the 9 per-field gathers
+    packed: jnp.ndarray = None
+    # static: whether ANY material carries each texture slot (lets the
+    # shading path drop whole atlas-sampling graphs at trace time)
+    any_tex_diffuse: bool = field(metadata=dict(static=True), default=True)
+    any_tex_mr: bool = field(metadata=dict(static=True), default=True)
+    any_tex_normal: bool = field(metadata=dict(static=True), default=True)
 
     @property
     def num_materials(self) -> int:
@@ -92,6 +108,11 @@ class LightData:
     cdf: jnp.ndarray       # [L] f32 normalized area CDF (last = 1)
     areas: jnp.ndarray     # [L] f32 triangle areas
     total_area: jnp.ndarray  # scalar f32
+    # [L, 16] f32: v0 xyz, v1 xyz, v2 xyz, face normal xyz, emitted
+    # radiance Le xyz (basecolor*emittance, precomputed). One row-gather
+    # per NEE sample replaces ~13 (tri_idx + 3 vertex-index + 9 position
+    # gathers) plus the light-material gather
+    packed: jnp.ndarray = None
 
     @property
     def num_lights(self) -> int:
