@@ -230,9 +230,9 @@ class TestStreamedTriangles:
         kernel must agree exactly with the VMEM-resident kernel and with
         brute force — the capability that removes the VMEM ceiling on
         scene size (reference equivalent: GPU global-memory triangle
-        buffer, ray_cast.cu __ldg loads)."""
-        import dataclasses
-
+        buffer, ray_cast.cu __ldg loads). The streamed pack carries a
+        different (lane-packed, cluster-aligned) triangle table, so the
+        resident comparison pack comes from its own build."""
         import jax.numpy as jnp
 
         from tpt.bvh.pallas_traverse import (packet_any_hit_wide,
@@ -246,7 +246,9 @@ class TestStreamedTriangles:
         host = procedural.cornell_box(resolution=(8, 8), spheres=True)
         data = host.build(with_bvh=True, stream_tris=True)
         assert data.pack.stream_tris
-        pack_v = dataclasses.replace(data.pack, stream_tris=False)
+        assert data.pack.tri_f32.shape[1] == 128  # lane-packed DMA layout
+        pack_v = host.build(with_bvh=True, stream_tris=False).pack
+        assert not pack_v.stream_tris
         mesh = data.mesh
 
         rng = np.random.default_rng(7)

@@ -102,6 +102,22 @@ class TestRaySorting:
         np.testing.assert_allclose(img_sorted, img_plain,
                                    rtol=1e-6, atol=2e-7)
 
+    def test_nearfield_two_pass_matches_one_pass(self):
+        """nearfield_frac splits the extension cast into a bounded pass +
+        an unbounded recast of the misses; the composite must find the
+        same hits (a hit at exactly t == r1 falls through to pass 2)."""
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=True)
+        data = scene.build(with_bvh=True)
+        img_nf = wavefront.render(
+            data, scene.camera,
+            RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=3,
+                         nearfield_frac=0.15), iterations=2)
+        img_base = wavefront.render(
+            data, scene.camera,
+            RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=3),
+            iterations=2)
+        np.testing.assert_allclose(img_nf, img_base, rtol=1e-6, atol=2e-7)
+
     def test_wavefront_pallas_sorted_render(self):
         """Full wavefront frame through the Pallas backend (interpret mode)
         with sorting on matches the XLA backend."""

@@ -281,3 +281,55 @@ def build_packet_bvh_wide(mesh: MeshData, bvh: LBVHData,
         max_cluster=max_cluster,
         arity=arity,
     )
+
+
+def align_clusters_for_stream(pack: PacketBVH) -> PacketBVH:
+    """Rewrite a wide pack's triangle table into the HBM-streaming layout:
+    every cluster gets its own 8-aligned K-row slot and the table is
+    lane-packed to [rows, 128] (8 triangle rows of 16 f32 per 128-lane
+    row). TPU rationale: a DMA slice must be 128-aligned in the lane
+    dimension, so the resident [T, 16] layout cannot be streamed (Mosaic:
+    "Slice shape along dimension 1 must be aligned to tiling (128)") —
+    and aligning each cluster start to a multiple of 8 keeps the
+    in-kernel per-triangle scalar extracts at static offsets. Costs
+    ~1.3-1.6x triangle-table bytes (count < K slots are padded with
+    degenerate rows), paid in HBM where the ceiling is ~16 GB, to lift
+    the ~12 MB VMEM-resident ceiling."""
+    import dataclasses
+
+    k = pack.max_cluster
+    assert k * 16 % 128 == 0 or k % 8 == 0, "need 8-aligned cluster slots"
+    assert pack.arity > 2, "streaming layout is a wide-kernel feature"
+    child = np.asarray(pack.node_child).copy()
+    tri = np.asarray(pack.tri_f32)
+    codes = child[:, :pack.arity]
+    is_cluster = codes <= -2  # -1 = empty slot
+    vals = -(codes + 1)
+    starts = vals // 256
+    counts = vals % 256
+
+    uniq = sorted({(int(s), int(c))
+                   for s, c in zip(starts[is_cluster], counts[is_cluster])})
+    new_start = {}
+    cursor = 0
+    for s, c in uniq:
+        new_start[(s, c)] = cursor
+        cursor += k
+    rows = max(cursor * 16 // 128, 1)
+    new_tri = np.zeros((cursor if cursor else 8, 16), np.float32)
+    for (s, c), ns in new_start.items():
+        new_tri[ns:ns + c] = tri[s:s + c]
+
+    new_codes = codes.copy()
+    it = np.nonzero(is_cluster)
+    for r, s in zip(*it):
+        key = (int(starts[r, s]), int(counts[r, s]))
+        new_codes[r, s] = encode_cluster(new_start[key], key[1])
+    child[:, :pack.arity] = new_codes
+
+    return dataclasses.replace(
+        pack,
+        node_child=jnp.asarray(child),
+        tri_f32=jnp.asarray(new_tri.reshape(rows, 128)),
+        stream_tris=True,
+    )

@@ -62,18 +62,30 @@ def _slab(row, base, ox, oy, oz, ix, iy, iz, limit):
     return (tn <= tf), tn
 
 
-def _mt_scalar_tri(block, j, ox, oy, oz, dx, dy, dz):
-    """Moller-Trumbore of triangle row j (scalars) against all lanes.
-    Returns (t, u, v, hit_geom) — caller applies t-range and validity."""
-    v0x = block[j, 0]
-    v0y = block[j, 1]
-    v0z = block[j, 2]
-    e1x = block[j, 3]
-    e1y = block[j, 4]
-    e1z = block[j, 5]
-    e2x = block[j, 6]
-    e2y = block[j, 7]
-    e2z = block[j, 8]
+def _tri_getter(block, lane_packed: bool):
+    """Scalar accessor for triangle j, column c. Two layouts:
+    - resident: block [K, 16], element at [j, c]
+    - streaming: block lane-packed [K*16/128, 128] (8 tri-rows per
+      128-lane row, the only DMA-able layout) — element at
+      [(j*16)//128, (j*16)%128 + c]; j is static, so both indices are."""
+    if lane_packed:
+        return lambda j, c: block[(j * 16) // 128, (j * 16) % 128 + c]
+    return lambda j, c: block[j, c]
+
+
+def _mt_scalar_tri(get, j, ox, oy, oz, dx, dy, dz):
+    """Moller-Trumbore of triangle row j (scalars via `get(j, c)` —
+    see _tri_getter) against all lanes. Returns (t, u, v, hit_geom) —
+    caller applies t-range and validity."""
+    v0x = get(j, 0)
+    v0y = get(j, 1)
+    v0z = get(j, 2)
+    e1x = get(j, 3)
+    e1y = get(j, 4)
+    e1z = get(j, 5)
+    e2x = get(j, 6)
+    e2y = get(j, 7)
+    e2z = get(j, 8)
 
     # pvec = d x e2
     px = dy * e2z - dz * e2y
@@ -176,11 +188,11 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
             val = -(code + 1)  # idle code -1 -> val 0 -> count 0 (no-op)
             start = jnp.clip(val // 256, 0, tri_rows - k_cluster)
             count = val % 256
-            block = tri_ref[pl.ds(start, k_cluster), :]
+            get = _tri_getter(tri_ref[pl.ds(start, k_cluster), :], False)
             for j in range(k_cluster):
-                t, u, v, hitg = _mt_scalar_tri(block, j, ox, oy, oz, dx, dy, dz)
+                t, u, v, hitg = _mt_scalar_tri(get, j, ox, oy, oz, dx, dy, dz)
                 hit = hitg & (j < count) & (t < bt)
-                tri_id = block[j, 9].astype(jnp.int32)
+                tri_id = get(j, 9).astype(jnp.int32)
                 bt = jnp.where(hit, t, bt)
                 btri = jnp.where(hit, tri_id, btri)
                 bu = jnp.where(hit, u, bu)
@@ -217,10 +229,10 @@ def _make_kernel(num_nodes: int, k_cluster: int, stack_depth: int,
                 val = -(code + 1)
                 start = jnp.clip(val // 256, 0, tri_rows - k_cluster)
                 count = val % 256
-                block = tri_ref[pl.ds(start, k_cluster), :]
+                get = _tri_getter(tri_ref[pl.ds(start, k_cluster), :], False)
                 for j in range(k_cluster):
                     t, u, v, hitg = _mt_scalar_tri(
-                        block, j, ox, oy, oz, dx, dy, dz)
+                        get, j, ox, oy, oz, dx, dy, dz)
                     occ = jnp.maximum(
                         occ,
                         (hitg & (j < count) & (t < limit)).astype(jnp.int32))
@@ -581,13 +593,25 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
 
         def cluster_block(cval):
             start, count = cluster_start_count(cval)
-            return tri_ref[pl.ds(start, k_cluster), :], count
+            return _tri_getter(tri_ref[pl.ds(start, k_cluster), :],
+                               False), count
+
+        # streaming layout: lane-packed [T/8, 128] (8 tri-rows per
+        # 128-lane row — a DMA slice must be 128-aligned in the lane dim,
+        # so the resident [T, 16] layout cannot be streamed); cluster
+        # starts are 8-aligned by pack.align_clusters_for_stream. Each
+        # scratch slot is 8 rows so static slot slices stay 8-aligned.
+        stream_rws = k_cluster * 16 // 128 if stream_tris else 0
 
         def cluster_dma(slot, start):
             return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(start, k_cluster), :],
-                tri_scratch.at[pl.ds(slot * k_cluster, k_cluster), :],
+                tri_ref.at[pl.ds(start // 8, stream_rws), :],
+                tri_scratch.at[pl.ds(slot * 8, stream_rws), :],
                 dma_sems.at[slot])
+
+        def stream_block(slot):
+            return _tri_getter(
+                tri_scratch[pl.ds(slot * 8, stream_rws), :], True)
 
         def pops_t(nsp, csp):
             """pops() variant that also returns each entry's pushed t_near
@@ -709,10 +733,10 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                 return ((nsp > 0) | (csp > 0)) & (jnp.min(occ) < 1) \
                     & (step < max_steps)
 
-            def occ_cluster(block, count, occ):
+            def occ_cluster(get, count, occ):
                 for j in range(k_cluster):
                     t, u, v, hitg = _mt_scalar_tri(
-                        block, j, ox, oy, oz, dx, dy, dz)
+                        get, j, ox, oy, oz, dx, dy, dz)
                     occ = jnp.maximum(
                         occ, (hitg & (j < count)
                               & (t < limit0)).astype(jnp.int32))
@@ -734,13 +758,11 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                         nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
                     for i, (_, count) in enumerate(scs):
                         dmas[i].wait()
-                        block = tri_scratch[
-                            pl.ds(i * k_cluster, k_cluster), :]
-                        occ = occ_cluster(block, count, occ)
+                        occ = occ_cluster(stream_block(i), count, occ)
                 else:
                     for cval in cvals:
-                        block, count = cluster_block(cval)
-                        occ = occ_cluster(block, count, occ)
+                        get, count = cluster_block(cval)
+                        occ = occ_cluster(get, count, occ)
                     for c_node in ncodes:
                         codes, anyh, ordw = node_children(c_node, live_limit)
                         nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
@@ -755,12 +777,12 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                 step, nsp, csp = c[0], c[1], c[2]
                 return ((nsp > 0) | (csp > 0)) & (step < max_steps)
 
-            def closest_cluster(block, count, bt, btri, bu, bv):
+            def closest_cluster(get, count, bt, btri, bu, bv):
                 for j in range(k_cluster):
                     t, u, v, hitg = _mt_scalar_tri(
-                        block, j, ox, oy, oz, dx, dy, dz)
+                        get, j, ox, oy, oz, dx, dy, dz)
                     hit = hitg & (j < count) & (t < bt)
-                    tri_id = block[j, 9].astype(jnp.int32)
+                    tri_id = get(j, 9).astype(jnp.int32)
                     bt = jnp.where(hit, t, bt)
                     btri = jnp.where(hit, tri_id, btri)
                     bu = jnp.where(hit, u, bu)
@@ -773,8 +795,8 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                 btmax = jnp.max(bt)  # bt only shrinks: start-of-iter is safe
                 for cval, ct in zip(cvals, ctmins):
                     def do_cluster(args, cval=cval):
-                        block, count = cluster_block(cval)
-                        return closest_cluster(block, count, *args)
+                        get, count = cluster_block(cval)
+                        return closest_cluster(get, count, *args)
 
                     bt, btri, bu, bv = jax.lax.cond(
                         ct <= btmax, do_cluster, lambda a: a,
@@ -806,15 +828,13 @@ def _make_kernel_wide(num_nodes: int, k_cluster: int, nstack_depth: int,
                         nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
                     for i, (_, count) in enumerate(scs):
                         dmas[i].wait()
-                        block = tri_scratch[
-                            pl.ds(i * k_cluster, k_cluster), :]
                         bt, btri, bu, bv = closest_cluster(
-                            block, count, bt, btri, bu, bv)
+                            stream_block(i), count, bt, btri, bu, bv)
                 else:
                     for cval in cvals:
-                        block, count = cluster_block(cval)
+                        get, count = cluster_block(cval)
                         bt, btri, bu, bv = closest_cluster(
-                            block, count, bt, btri, bu, bv)
+                            get, count, bt, btri, bu, bv)
                     for c_node in ncodes:
                         codes, anyh, ordw = node_children(c_node, bt)
                         nsp, csp = push_children(codes, anyh, ordw, nsp, csp)
@@ -880,9 +900,12 @@ def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
                                                            group)
     stream = pack.stream_tris
+    # streaming tri table is lane-packed [T/8, 128]; tri_rows is always
+    # in triangle units for the start clip
+    tri_count = pack.tri_f32.shape[0] * (8 if stream else 1)
     kernel = _make_kernel_wide(
         pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
-        any_hit=False, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
+        any_hit=False, tri_rows=tri_count, arity=pack.arity,
         node_pops=node_pops, rows=rows, cluster_pops=cluster_pops,
         stream_tris=stream, t_cull=t_cull and not stream)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
@@ -893,7 +916,7 @@ def packet_closest_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
                pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)]
     if stream:
         scratch += [
-            pltpu.VMEM((cluster_pops * pack.max_cluster, 16), jnp.float32),
+            pltpu.VMEM((cluster_pops * 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((cluster_pops,)),
         ]
     elif t_cull:
@@ -942,9 +965,10 @@ def packet_any_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
                                                            group)
     stream = pack.stream_tris
+    tri_count = pack.tri_f32.shape[0] * (8 if stream else 1)
     kernel = _make_kernel_wide(
         pack.num_nodes, pack.max_cluster, stack_depth, CSTACK_DEPTH,
-        any_hit=True, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
+        any_hit=True, tri_rows=tri_count, arity=pack.arity,
         node_pops=node_pops, rows=rows, cluster_pops=cluster_pops,
         stream_tris=stream)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
@@ -955,7 +979,7 @@ def packet_any_hit_wide(pack: PacketBVH, ori: Vec3, d: Vec3,
                pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)]
     if stream:
         scratch += [
-            pltpu.VMEM((cluster_pops * pack.max_cluster, 16), jnp.float32),
+            pltpu.VMEM((cluster_pops * 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((cluster_pops,)),
         ]
     occ = pl.pallas_call(

@@ -94,6 +94,12 @@ class RenderConfig:
     trav_group_primary: int = 4
     trav_node_pops: int = 4
     trav_cluster_pops: int = 4
+    # two-pass extension cast: first cast with t_max = frac * world
+    # diagonal (a bounded per-lane limit collapses the packet's node-visit
+    # union — far subtrees fail the slab test for every lane), then
+    # re-cast only the misses unbounded. 0 disables. Interiors hit mostly
+    # nearby geometry, so pass 2 runs with most lanes dead.
+    nearfield_frac: float = 0.0
     # synthetic shading cost for the megakernel-vs-wavefront stress study
     # (reference keeps it as commented code — interactions.cu:255-321)
     heavy_shading_iters: int = 0

@@ -58,9 +58,11 @@ class HostScene:
         return np.array([m.emittance for m in self.materials] or [0.0], np.float32)
 
     # triangle tables beyond this stay HBM-resident and are DMA-streamed
-    # per cluster by the traversal kernel (the kernel caps VMEM at 100 MB;
-    # rays + node tables + double-buffered outputs need the rest)
-    STREAM_TRIS_BYTES = 48 * 1024 * 1024
+    # per cluster by the traversal kernel. Measured ceiling on v5e: a
+    # 17 MB resident table OOMs VMEM at 1M rays (XLA stacks the table,
+    # ray windows, and S(1) output buffers in the same 128 MB space);
+    # 9 MB (the 143k-tri bench interior) fits with room to spare.
+    STREAM_TRIS_BYTES = 12 * 1024 * 1024
 
     def build(self, with_bvh: bool = False, bvh_builder: str = "auto",
               max_cluster: int = 16, packet_arity: int = 4,
@@ -158,8 +160,8 @@ class HostScene:
             if stream == "auto":
                 stream = pack.tri_f32.nbytes > self.STREAM_TRIS_BYTES
             if stream and pack.arity > 2:
-                import dataclasses
+                from ..bvh.pack import align_clusters_for_stream
 
-                pack = dataclasses.replace(pack, stream_tris=True)
+                pack = align_clusters_for_stream(pack)
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
                          env=env, bvh=bvh, pack=pack)
