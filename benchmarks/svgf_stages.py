@@ -63,8 +63,9 @@ def main():
                           "value": round(ms, 2), "unit": "ms"}))
         sys.stdout.flush()
 
-    for pallas_re in (True, False):
-        for pallas_at in (True, False):
+    only_pallas = os.environ.get("SV_ONLY_PALLAS") == "1"
+    for pallas_re in ((True,) if only_pallas else (True, False)):
+        for pallas_at in ((True,) if only_pallas else (True, False)):
             cfg = SVGFConfig(use_pallas_reproject=pallas_re,
                              use_pallas_atrous=pallas_at)
             full = jax.jit(lambda st, cfg=cfg: run_svgf(
@@ -80,18 +81,20 @@ def main():
     re_p = jax.jit(lambda st: reproject_pallas(
         st, mu, mv, normal, depth, matid, radius=cfg.reproject_radius))
     report("reproject pallas", timeit(re_p, state))
-    re_x = jax.jit(lambda st: svgf_mod._reproject_taps(
-        st, mu, mv, normal, depth, matid))
-    report("reproject xla(4 gathers)", timeit(re_x, state))
+    if not only_pallas:
+        re_x = jax.jit(lambda st: svgf_mod._reproject_taps(
+            st, mu, mv, normal, depth, matid))
+        report("reproject xla(4 gathers)", timeit(re_x, state))
 
     from tpt.denoise.pallas_stencil import atrous_pallas
 
     at_p = jax.jit(lambda a, b, c, d: atrous_pallas(
         a, b, c, d, depth, normal, 4, cfg.sigma_z, cfg.sigma_n, cfg.sigma_l))
     report("atrous x1 pallas", timeit(at_p, raw_d, r(), raw_i, r()))
-    at_x = jax.jit(lambda a, b, c, d: svgf_mod._atrous_once(
-        a, b, c, d, depth, normal, 4, cfg))
-    report("atrous x1 xla", timeit(at_x, raw_d, r(), raw_i, r()))
+    if not only_pallas:
+        at_x = jax.jit(lambda a, b, c, d: svgf_mod._atrous_once(
+            a, b, c, d, depth, normal, 4, cfg))
+        report("atrous x1 xla", timeit(at_x, raw_d, r(), raw_i, r()))
 
     sp = jax.jit(lambda: svgf_mod._spatial_variance(
         r(), r(), r(), r(), depth, normal, cfg))
