@@ -64,16 +64,6 @@ def main():
         sys.stdout.flush()
 
     only_pallas = os.environ.get("SV_ONLY_PALLAS") == "1"
-    for pallas_re in ((True,) if only_pallas else (True, False)):
-        for pallas_at in ((True,) if only_pallas else (True, False)):
-            cfg = SVGFConfig(use_pallas_reproject=pallas_re,
-                             use_pallas_atrous=pallas_at)
-            full = jax.jit(lambda st, cfg=cfg: run_svgf(
-                cfg, st, raw_d, raw_i, albedo, depth, normal, matid, mu, mv))
-            tag = (f"full reproject={'pallas' if pallas_re else 'xla'} "
-                   f"atrous={'pallas' if pallas_at else 'xla'}")
-            report(tag, timeit(full, state))
-
     # isolated stages
     cfg = SVGFConfig()
     from tpt.denoise.pallas_reproject import reproject_pallas
@@ -99,6 +89,16 @@ def main():
     sp = jax.jit(lambda: svgf_mod._spatial_variance(
         r(), r(), r(), r(), depth, normal, cfg))
     report("spatial variance 7x7", timeit(sp))
+    for pallas_re in ((True,) if only_pallas else (True, False)):
+        for pallas_at in ((True,) if only_pallas else (True, False)):
+            cfg = SVGFConfig(use_pallas_reproject=pallas_re,
+                             use_pallas_atrous=pallas_at)
+            full = jax.jit(lambda st, cfg=cfg: run_svgf(
+                cfg, st, raw_d, raw_i, albedo, depth, normal, matid, mu, mv))
+            tag = (f"full reproject={'pallas' if pallas_re else 'xla'} "
+                   f"atrous={'pallas' if pallas_at else 'xla'}")
+            report(tag, timeit(full, state))
+
     return 0
 
 

@@ -76,7 +76,7 @@ def _make_kernel(h: int, w: int, wp: int, radius: int):
         for p in range(N_HIST):
             pltpu.make_async_copy(
                 hist_refs[p].at[pl.ds(y0, rows_win), :],
-                scratch.at[p], sems.at[p]).start()
+                scratch.at[p, pl.ds(0, rows_win), :], sems.at[p]).start()
 
         mu = cur_refs[0][:, :]
         mv = cur_refs[1][:, :]
@@ -107,51 +107,84 @@ def _make_kernel(h: int, w: int, wp: int, radius: int):
         for p in range(N_HIST):
             pltpu.make_async_copy(
                 hist_refs[p].at[pl.ds(y0, rows_win), :],
-                scratch.at[p], sems.at[p]).wait()
+                scratch.at[p, pl.ds(0, rows_win), :], sems.at[p]).wait()
 
         zeros = jnp.zeros((BAND, wp))
 
+        n_blk = (2 * R + 8) // 8  # 8 offsets per fori iteration
+
+        # motion-adaptive block culling: a coarse block whose 8 offsets
+        # all fall outside the band's actual [min, max] row/col offset
+        # range selects nothing — skip it. Typical camera motion spans a
+        # few pixels, so ~2 of the 7 blocks do all the work and kernel
+        # cost scales with |motion|, not with the R=24 worst case.
+        ry_lo = jnp.min(ry_c)
+        ry_hi = jnp.max(ry_c)
+        rx_lo = jnp.min(rx_c)
+        rx_hi = jnp.max(rx_c)
+
         def tap_channel(p):
-            """4 corner taps of history plane p. Both phases are
-            fori_loops (dynamic-shift rolls), so the live set stays ~8
-            tiles regardless of R — the fully unrolled form spilled ~1100
-            (BAND, wp) temporaries to scoped VMEM at 1080p (283 MB > the
-            128 MB space) and OOM'd. Dynamic *slices* of the scratch rows
-            are not an option either (Mosaic requires provably 8-aligned
-            sublane starts), so the row phase rolls the whole window along
-            axis 0 and statically slices row 0 — one roll per offset feeds
-            both the y0f and the y0f+1 corner rows."""
-            win = scratch[p]  # (rows_win, wp)
-
-            # row phase: rolled[r] = win[r + a] (no wrap for r < BAND);
-            # window row for output row r with offset o is r + R + o
-            def row_body(a, carry):
+            """4 corner taps of history plane p: fori loops unrolled by 8
+            inside. Three measured failure modes bound this design:
+            full static unroll spills one scoped VMEM buffer per produced
+            value (283 MB > the 128 MB space at 1080p, round 1 of this
+            kernel); scalar fori (one offset/iteration) pays ~2 us loop
+            overhead per iteration (114 ms whole-kernel); and Mosaic
+            rejects unaligned dynamic sublane slices — so the row phase
+            loads an 8-aligned dynamic window (i*8 is provably aligned)
+            and statically sub-slices it, and the column phase composes
+            one dynamic coarse roll with 8 static fine rolls."""
+            # row phase: window row for output row r at offset o is
+            # r + R + o; slice rows i*8+f feed offset o = i*8 + f - R for
+            # the y0f corners (mask o) and o-1 for the y0f+1 corners.
+            # Offsets beyond R select nothing (ry_c is clipped to R-1).
+            def row_blk(i, carry):
                 acc0, acc1 = carry
-                rolled = pltpu.roll(win, jnp.mod(rows_win - a, rows_win), 0)
-                sl = rolled[0:BAND]
-                off = a - R
-                return (jnp.where(ry_c == off, sl, acc0),
-                        jnp.where(ry_c == off - 1, sl, acc1))
+                base = scratch[p, pl.ds(i * 8, BAND + 8), :]
+                for f in range(8):
+                    sl = base[f:f + BAND]
+                    off = i * 8 + f - R
+                    acc0 = jnp.where(ry_c == off, sl, acc0)
+                    acc1 = jnp.where(ry_c == off - 1, sl, acc1)
+                return acc0, acc1
 
-            acc0, acc1 = jax.lax.fori_loop(
-                0, 2 * R + 1, row_body, (zeros, zeros))
+            def row_body(i, carry):
+                # block offsets [i*8-R, i*8+7-R]; acc1 also matches off-1
+                live = ((i * 8 - R <= ry_hi + 1) & (i * 8 + 7 - R >= ry_lo))
+                return jax.lax.cond(live, lambda c, i=i: row_blk(i, c),
+                                    lambda c: c, carry)
 
-            # column phase: shared dynamic rolls feed both x and x+1
-            # corners (rx_c == R / == -R-1 never hold, masking the loop
-            # edges for free)
-            def col_body(b, carry):
+            acc0, acc1 = jax.lax.fori_loop(0, n_blk, row_body,
+                                           (zeros, zeros))
+
+            # column phase: shift for offset b is (-b) % wp with
+            # b = i*8 + f - R; coarse dynamic roll by (R - i*8) % wp, then
+            # static fine rolls by wp - f compose to it. Shared rolls feed
+            # both the x (mask b) and x+1 (mask b-1) corners.
+            def col_blk(i, carry):
                 t00, t01, t10, t11 = carry
-                off = b - R
-                shift = jnp.mod(-off, wp)
-                m0 = rx_c == off
-                m1 = rx_c == off - 1
-                r0 = pltpu.roll(acc0, shift, 1)
-                r1 = pltpu.roll(acc1, shift, 1)
-                return (jnp.where(m0, r0, t00), jnp.where(m1, r0, t01),
-                        jnp.where(m0, r1, t10), jnp.where(m1, r1, t11))
+                coarse = jnp.mod(R - i * 8, wp)
+                c0 = pltpu.roll(acc0, coarse, 1)
+                c1 = pltpu.roll(acc1, coarse, 1)
+                for f in range(8):
+                    r0 = pltpu.roll(c0, (wp - f) % wp, 1)
+                    r1 = pltpu.roll(c1, (wp - f) % wp, 1)
+                    b = i * 8 + f - R
+                    m0 = rx_c == b
+                    m1 = rx_c == b - 1
+                    t00 = jnp.where(m0, r0, t00)
+                    t01 = jnp.where(m1, r0, t01)
+                    t10 = jnp.where(m0, r1, t10)
+                    t11 = jnp.where(m1, r1, t11)
+                return t00, t01, t10, t11
+
+            def col_body(i, carry):
+                live = ((i * 8 - R <= rx_hi + 1) & (i * 8 + 7 - R >= rx_lo))
+                return jax.lax.cond(live, lambda c, i=i: col_blk(i, c),
+                                    lambda c: c, carry)
 
             t00, t01, t10, t11 = jax.lax.fori_loop(
-                0, 2 * R + 1, col_body, (zeros, zeros, zeros, zeros))
+                0, n_blk, col_body, (zeros, zeros, zeros, zeros))
             return (t00, t01, t10, t11)  # corner = j * 2 + i
 
         # ---- guide channels -> per-corner consistency weights -------------
@@ -237,7 +270,10 @@ def reproject_pallas(state, motion_u, motion_v, normal: Vec3, depth, matid,
         out_shape=[jax.ShapeDtypeStruct((h_pad, wp), jnp.float32)]
         * (len(DATA_KEYS) + 1),
         scratch_shapes=[
-            pltpu.VMEM((N_HIST, BAND + 2 * R, wp), jnp.float32),
+            # +8 rows: the row phase's unroll-by-8 window reads up to 8
+            # rows past the DMA'd region (masked — offsets beyond R never
+            # select)
+            pltpu.VMEM((N_HIST, BAND + 2 * R + 8, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((N_HIST,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -116,31 +116,18 @@ def _sort_pool(scene, cfg, carry_slice, first):
         key = raysort.coherence_key(ori, direction, world_lo, world_inv,
                                      mode=cfg.sort_key)
         key = jnp.where(alive, key, jnp.int32(1 << 30))
-        # permutation-only sort + ONE packed row-gather: lax.sort is
-        # stable, so gathering rows by the (key, iota) permutation is
-        # bit-identical to the 20-operand payload sort it replaces, at
-        # ~1/3 the cost (each extra 2M sort operand ~2.6 ms x 19 vs one
-        # ~22 ms row-gather; same packed-row trick as fetch_hit_surface)
-        n = key.shape[0]
-        _, perm = jax.lax.sort(
-            (key, jax.lax.iota(jnp.int32, n)), num_keys=1)
-        as_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-        as_i = lambda c: jax.lax.bitcast_convert_type(c, jnp.int32)
-        packed = jnp.stack(
-            (ori.x, ori.y, ori.z,
+        (_, ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, st, al,
+         drx, dry, drz, inx, iny, inz, pidx) = jax.lax.sort(
+            (key, ori.x, ori.y, ori.z,
              direction.x, direction.y, direction.z,
              throughput.x, throughput.y, throughput.z,
-             last_pdf, as_f(state), as_f(alive.astype(jnp.int32)),
+             last_pdf, state, alive.astype(jnp.int32),
              direct.x, direct.y, direct.z,
-             indirect.x, indirect.y, indirect.z, as_f(pixel_idx)),
-            axis=1)
-        rows = jnp.take(packed, perm, axis=0)
-        c = lambda j: rows[:, j]
-        return (Vec3(c(0), c(1), c(2)), Vec3(c(3), c(4), c(5)),
-                Vec3(c(6), c(7), c(8)), c(9),
-                jax.lax.bitcast_convert_type(c(10), jnp.uint32),
-                as_i(c(11)) != 0, Vec3(c(12), c(13), c(14)),
-                Vec3(c(15), c(16), c(17)), as_i(c(18)))
+             indirect.x, indirect.y, indirect.z, pixel_idx),
+            num_keys=1)
+        return (Vec3(ox, oy, oz), Vec3(dx, dy, dz), Vec3(tx, ty, tz),
+                lp, st, al != 0, Vec3(drx, dry, drz), Vec3(inx, iny, inz),
+                pidx)
 
     if first is False:  # statically known non-first bounce: always sort
         return do_sort(carry_slice)
