@@ -120,7 +120,15 @@ def _make_kernel(step: int, h: int, w: int, wp: int, sigma_z: float,
                 w_z = jnp.exp(-jnp.abs(depth - nd)
                               / (sigma_z * jnp.abs(d_approx) + eps))
                 ndotn = jnp.maximum(0.0, nx * nnx + ny * nny + nz * nnz)
-                w_n = ndotn ** sigma_n
+                if float(sigma_n).is_integer() and (
+                        int(sigma_n) & (int(sigma_n) - 1)) == 0:
+                    # x**128 as 7 squarings: Mosaic lowers a float pow as
+                    # exp(n*log(x)) — two slow transcendentals per tap
+                    w_n = ndotn
+                    for _ in range(int(sigma_n).bit_length() - 1):
+                        w_n = w_n * w_n
+                else:
+                    w_n = ndotn ** sigma_n
                 t_ill_d = [tap2(0, dy, dx), tap2(1, dy, dx), tap2(2, dy, dx)]
                 t_var_d = tap2(3, dy, dx)
                 t_ill_i = [tap2(4, dy, dx), tap2(5, dy, dx), tap2(6, dy, dx)]

@@ -356,12 +356,22 @@ def run_svgf(cfg: SVGFConfig, state: SVGFState,
     var_d = jnp.where(sky, 1.0, var_d)
     var_i = jnp.where(sky, 1.0, var_i)
 
-    # 3. spatial variance fallback for short history
-    sp_var_d, sp_var_i = _spatial_variance(m1d, m1i, m2d, m2i, depth, normal,
-                                           cfg)
+    # 3. spatial variance fallback for short history. Guarded: the 7x7
+    # XLA stencil costs ~100 ms at 1080p (BENCHMARKS §5), so frames with
+    # no short-history pixel (steady state) skip it entirely — lax.cond
+    # executes one branch, and the selected values are bit-identical
+    # because need_spatial masks every lane the fallback would write.
     need_spatial = ~enough_history & ~sky
-    var_d = jnp.where(need_spatial, sp_var_d, var_d)
-    var_i = jnp.where(need_spatial, sp_var_i, var_i)
+
+    def with_spatial(args):
+        vd, vi = args
+        sp_var_d, sp_var_i = _spatial_variance(m1d, m1i, m2d, m2i, depth,
+                                               normal, cfg)
+        return (jnp.where(need_spatial, sp_var_d, vd),
+                jnp.where(need_spatial, sp_var_i, vi))
+
+    var_d, var_i = jax.lax.cond(jnp.any(need_spatial), with_spatial,
+                                lambda a: a, (var_d, var_i))
 
     # 4. gaussian blur on variance
     var_d = jax.lax.optimization_barrier(_gaussian3(var_d))
