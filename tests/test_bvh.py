@@ -225,6 +225,46 @@ class TestWideKernelStackPressure:
 
 
 class TestStreamedTriangles:
+    def test_align_clusters_layout_invariants(self):
+        """align_clusters_for_stream invariants the kernel relies on:
+        every cluster code decodes to an 8-aligned start with its
+        original count, the table is lane-packed [rows, 128], and each
+        cluster's triangle rows are copied verbatim into its slot."""
+        import numpy as np
+
+        from tpt.bvh.pack import align_clusters_for_stream, decode_cluster
+        from tpt.scene import procedural
+
+        host = procedural.cornell_box(resolution=(8, 8), spheres=True)
+        data = host.build(with_bvh=True, stream_tris=False)
+        pack = data.pack
+        aligned = align_clusters_for_stream(pack)
+
+        assert aligned.stream_tris
+        assert aligned.tri_f32.shape[1] == 128
+        old_child = np.asarray(pack.node_child)[:, :pack.arity]
+        new_child = np.asarray(aligned.node_child)[:, :pack.arity]
+        old_tri = np.asarray(pack.tri_f32)
+        new_tri = np.asarray(aligned.tri_f32).reshape(-1, 16)
+        k = pack.max_cluster
+        n_checked = 0
+        for r in range(old_child.shape[0]):
+            for s in range(pack.arity):
+                oc, nc = int(old_child[r, s]), int(new_child[r, s])
+                if oc >= -1:  # node or empty: unchanged
+                    assert nc == oc
+                    continue
+                os_, ocnt = decode_cluster(oc)
+                ns_, ncnt = decode_cluster(nc)
+                assert ncnt == ocnt
+                assert ns_ % 8 == 0
+                assert ns_ % k == 0  # own K-row slot
+                np.testing.assert_array_equal(
+                    new_tri[ns_:ns_ + ocnt], old_tri[os_:os_ + ocnt])
+                n_checked += 1
+        assert n_checked > 0
+
+
     def test_streamed_matches_vmem_and_brute_force(self):
         """HBM triangle streaming (pack.stream_tris): the DMA-per-cluster
         kernel must agree exactly with the VMEM-resident kernel and with
