@@ -64,9 +64,23 @@ def _make_kernel(step: int, h: int, w: int, wp: int, sigma_z: float,
         def center(p):
             return scratch[p, halo:halo + BAND, :]
 
+        # memoized taps: the 8 taps x 12 planes share 3 row offsets and 3
+        # column shifts, so caching (p, dy) slices and (p, dy, dx) rolls
+        # cuts the slice/roll op count ~40% (a python-level CSE Mosaic is
+        # not guaranteed to do); cached values are the same traced ops, so
+        # the XLA-parity test stays bit-exact
+        _slice_memo = {}
+        _roll_memo = {}
+
         def tap2(p, dy, dx):
-            return scratch[p, halo + dy:halo + dy + BAND, :] if dx == 0 else \
-                _xshift(scratch[p, halo + dy:halo + dy + BAND, :], dx)
+            if (p, dy) not in _slice_memo:
+                _slice_memo[(p, dy)] = scratch[
+                    p, halo + dy:halo + dy + BAND, :]
+            if dx == 0:
+                return _slice_memo[(p, dy)]
+            if (p, dy, dx) not in _roll_memo:
+                _roll_memo[(p, dy, dx)] = _xshift(_slice_memo[(p, dy)], dx)
+            return _roll_memo[(p, dy, dx)]
 
         def _xshift(a, dx):
             # static roll (wrapped columns land in the pad region, masked by
