@@ -24,6 +24,11 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from tpt.utils.cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    print(f"[bench] compilation cache: {cache_dir}", file=sys.stderr)
+
     from tpt.config import RayCastBackend, RenderConfig
     from tpt.core.vec import Vec3
     from tpt.integrators import wavefront

@@ -14,6 +14,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from tpt.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import pytest  # noqa: E402
 
 

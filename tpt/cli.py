@@ -46,6 +46,10 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from .config import DisplayMode, RayCastBackend, RenderConfig, RenderMode
     from .engine import Renderer
     from .io.image import save_png, timestamped_name
