@@ -44,6 +44,14 @@ class PacketBVH:
     # VMEM ceiling on scene size (the node table stays VMEM-resident: it
     # is ~2% of the triangle table's bytes)
     stream_tris: bool = field(metadata=dict(static=True), default=False)
+    # treelet top-tree tables (bvh/treelet.py:attach_treelets) for the
+    # self-rebinning kernel (pallas_treelet.py); None = not attached
+    top_f32: jnp.ndarray = None      # [Ntop, width] child boxes
+    top_child: jnp.ndarray = None    # [Ntop, 16] internal ids + order words
+    top_tref: jnp.ndarray = None     # [Ntop, 8] treelet phase-2 root codes
+    num_top: int = field(metadata=dict(static=True), default=0)
+    num_treelets: int = field(metadata=dict(static=True), default=0)
+    treelet_max: int = field(metadata=dict(static=True), default=0)
 
 
 def encode_cluster(start: int, count: int) -> int:

@@ -1,0 +1,426 @@
+"""Self-rebinning treelet traversal kernel — packet-level MIMD over
+subtrees, the round-3 answer to the extension-cast bottleneck.
+
+Problem (BENCHMARKS.md §4): the wide packet kernel charges all 2048 lanes
+of a super-packet for the packet's node-visit UNION; for incoherent bounce
+rays that union approaches the whole tree (sorted bounce rays 3.2 Mrays/s
+vs 12 coherent). The reference's per-ray MIMD loop
+(/root/reference/src/kernels/ray_cast.cu:12-122) pays per-ray visit sets.
+
+docs/ROADMAP_traversal.md costed a sort/scatter re-binning pipeline at
+~400-500 ms/frame, dominated by the XLA sort/scatter primitives, and named
+a native binning primitive as the unlock. This kernel goes one step
+further: the re-binning never leaves the packet. Per round:
+
+1. SCAN: traverse the small top tree (bvh/treelet.py) once; each lane
+   keeps the S lexicographically-nearest (entry_t, code) treelet
+   candidates beyond its threshold in per-lane slot planes (insertion by
+   dense compare-swap cascade — no sort, no scatter).
+2. DRAIN: pick the packet-global nearest requested treelet (two
+   min-reduces), traverse that subtree ONCE with the ordinary wide-node
+   machinery — every lane gets its hits tested (extra hits from
+   non-requesting lanes are exact and free) — and remove the consumed
+   slot.
+3. Lanes that exhaust their slots with overflow re-enter SCAN with the
+   threshold advanced to the last emitted candidate (the roadmap's
+   "re-enter phase 1 with a skip count"); lanes whose next candidate
+   entry lies beyond their best hit are resolved and go dense-dead.
+
+The per-visit dense cost then scales with per-treelet unions (the packet
+traverses each requested subtree once) instead of the whole-tree union,
+while staying ONE pallas_call per bounce — no extra lax.sorts, no
+scatters, no host round-trips (an 8M-pair sort alone would cost ~140 ms,
+ROADMAP table).
+
+Tables: subtree traversal reuses the PacketBVH node/tri tables unchanged;
+the top tree is the ~Ntreelets/arity rows above the cut (PacketBVH.top_*).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.vec import Vec3
+from ..integrators.intersect import FLT_MAX, HitRecord
+from .pack import PacketBVH
+from .pallas_traverse import (
+    LANES,
+    SUBLANES,
+    _children_any_hit,
+    _interpret,
+    _mt_scalar_tri,
+    _packet_octant,
+    _safe_inv,
+    _select_order_word,
+    _slab,
+    _tile_rays_grouped,
+    _tri_getter,
+    CSTACK_DEPTH,
+    NSTACK_DEPTH,
+)
+
+_INF = 3.0e38
+NONE_CODE = 0x7FFFFFFF  # empty slot sentinel (int32 max)
+INT_MIN = -0x80000000
+
+
+def _lex_lt(t_a, c_a, t_b, c_b):
+    """(t, code) lexicographic less-than, dense."""
+    return (t_a < t_b) | ((t_a == t_b) & (c_a < c_b))
+
+
+def _make_kernel_treelet(num_nodes: int, num_top: int, k_cluster: int,
+                         nstack_depth: int, cstack_depth: int,
+                         tri_rows: int, arity: int, slots: int,
+                         node_pops: int, cluster_pops: int,
+                         rows: int, max_rounds: int):
+    A = arity
+    S = slots
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               nodes_ref, child_ref, tri_ref, top_ref, topc_ref, tref_ref,
+               bt_out, btri_out, bu_out, bv_out, nstack, cstack):
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        tm = tmax_ref[0]
+        ix = _safe_inv(dx)
+        iy = _safe_inv(dy)
+        iz = _safe_inv(dz)
+        oct_idx = _packet_octant(dx, dy, dz)
+
+        zeros = jnp.zeros((rows, LANES), jnp.float32)
+        neg1 = jnp.full((rows, LANES), -1, jnp.int32)
+        inf = jnp.full((rows, LANES), _INF, jnp.float32)
+        none = jnp.full((rows, LANES), NONE_CODE, jnp.int32)
+
+        max_steps = 8 * num_nodes + 8192
+        cmargin = cstack_depth - node_pops * A - 1
+
+        # ------------------------------------------------------------------
+        # SCAN round: top-tree traversal filling per-lane candidate slots
+        # ------------------------------------------------------------------
+        def scan_round(c):
+            (bt, btri, bu, bv, s_t, s_c, thr_t, thr_c, exhausted) = c
+            s_t = list(s_t)
+            s_c = list(s_c)
+            # lanes needing candidates: slots empty, not exhausted, and the
+            # last emitted key still precedes the current best hit
+            scan_mask = ((s_c[0] == NONE_CODE) & (exhausted == 0)
+                         & (thr_t < bt))
+            overflow = jnp.zeros((rows, LANES), jnp.int32)
+
+            nstack[0] = jnp.int32(0)  # top root
+
+            def cond(st):
+                step, sp = st[0], st[1]
+                return (sp > 0) & (step < 8 * num_top + 1024)
+
+            def body(st):
+                step, sp = st[0], st[1]
+                s_t = list(st[2:2 + S])
+                s_c = list(st[2 + S:2 + 2 * S])
+                ovf = st[2 + 2 * S]
+                for _ in range(node_pops):
+                    has = sp > 0
+                    code = jnp.where(has, nstack[jnp.maximum(sp - 1, 0)],
+                                     jnp.int32(-1))
+                    sp = jnp.where(has, sp - 1, sp)
+                    nid = jnp.clip(code, 0, num_top - 1)
+                    row = top_ref[pl.ds(nid, 1), :]
+                    crow = topc_ref[pl.ds(nid, 1), :]
+                    trow = tref_ref[pl.ds(nid, 1), :]
+                    ordw = _select_order_word(crow, oct_idx)
+                    valid_pop = code >= 0
+                    # per-lane prune limit: nothing beyond the current
+                    # worst kept slot or the best hit can matter
+                    limit = jnp.where(scan_mask, jnp.minimum(bt, s_t[S - 1]),
+                                      -1.0)
+                    codes, anyh = [], []
+                    for s in range(A):
+                        hit_s, tn_s = _slab(row, 6 * s, ox, oy, oz,
+                                            ix, iy, iz, limit)
+                        child_id = crow[0, s]
+                        is_internal = child_id >= 0
+                        # treelet-ref slot: insert (tn, tref code) into the
+                        # lane's ascending slot list (compare-swap cascade)
+                        tcode = trow[0, s]
+                        valid = (hit_s & (tn_s < bt) & scan_mask
+                                 & jnp.logical_not(is_internal) & valid_pop
+                                 & ((tn_s > thr_t)
+                                    | ((tn_s == thr_t) & (tcode > thr_c))))
+                        cur_t = jnp.where(valid, tn_s, _INF)
+                        cur_c = jnp.where(valid, tcode, NONE_CODE)
+                        for i in range(S):
+                            swap = _lex_lt(cur_t, cur_c, s_t[i], s_c[i])
+                            s_t[i], cur_t = (jnp.where(swap, cur_t, s_t[i]),
+                                             jnp.where(swap, s_t[i], cur_t))
+                            s_c[i], cur_c = (jnp.where(swap, cur_c, s_c[i]),
+                                             jnp.where(swap, s_c[i], cur_c))
+                        ovf = ovf | (cur_c != NONE_CODE).astype(jnp.int32)
+                        codes.append(child_id)
+                        anyh.append(hit_s & is_internal & valid_pop)
+                    any_scalar = _children_any_hit(anyh)
+                    # push internal children far-to-near per octant order
+                    for pos in range(A - 1, -1, -1):
+                        slot = (ordw >> (4 * pos)) & 15
+                        csel = jnp.int32(-1)
+                        hsel = False
+                        for s in range(A):
+                            is_s = slot == s
+                            csel = jnp.where(is_s, codes[s], csel)
+                            hsel = jnp.logical_or(
+                                jnp.logical_and(is_s, any_scalar[s]), hsel)
+                        do_push = hsel & (csel >= 0) & (sp < nstack_depth)
+
+                        @pl.when(do_push)
+                        def _(csel=csel, sp=sp):
+                            nstack[sp] = csel
+
+                        sp = sp + do_push.astype(jnp.int32)
+                return (step + 1, sp, *s_t, *s_c, ovf)
+
+            init = (jnp.int32(0), jnp.int32(1), *s_t, *s_c, overflow)
+            fin = jax.lax.while_loop(cond, body, init)
+            s_t = list(fin[2:2 + S])
+            s_c = list(fin[2 + S:2 + 2 * S])
+            overflow = fin[2 + 2 * S]
+
+            # threshold advances to the last emitted candidate (full lists
+            # only — short lists mean the scan was exhaustive)
+            full = s_c[S - 1] != NONE_CODE
+            thr_t = jnp.where(scan_mask & full, s_t[S - 1], thr_t)
+            thr_c = jnp.where(scan_mask & full, s_c[S - 1], thr_c)
+            exhausted = jnp.where(scan_mask, 1 - overflow, exhausted)
+            return (bt, btri, bu, bv, tuple(s_t), tuple(s_c),
+                    thr_t, thr_c, exhausted)
+
+        # ------------------------------------------------------------------
+        # DRAIN round: traverse the packet-nearest requested treelet
+        # ------------------------------------------------------------------
+        def drain_round(c):
+            (bt, btri, bu, bv, s_t, s_c, thr_t, thr_c, exhausted) = c
+            s_t = list(s_t)
+            s_c = list(s_c)
+            valid0 = (s_c[0] != NONE_CODE) & (s_t[0] < bt)
+            min_t = jnp.min(jnp.where(valid0, s_t[0], _INF))
+            root = jnp.min(jnp.where(valid0 & (s_t[0] == min_t), s_c[0],
+                                     NONE_CODE))
+
+            @pl.when(root >= 0)
+            def _():
+                nstack[0] = root
+
+            @pl.when(root < 0)
+            def _():
+                cstack[0] = -(root + 1)
+
+            nsp0 = (root >= 0).astype(jnp.int32)
+            csp0 = (root < 0).astype(jnp.int32)
+
+            def cond(st):
+                step, nsp, csp = st[0], st[1], st[2]
+                return ((nsp > 0) | (csp > 0)) & (step < max_steps)
+
+            def body(st):
+                step, nsp, csp, bt, btri, bu, bv = st
+                allow_nodes = csp < cmargin
+                ncodes = []
+                for _ in range(node_pops):
+                    has = (nsp > 0) & allow_nodes
+                    ncodes.append(jnp.where(
+                        has, nstack[jnp.maximum(nsp - 1, 0)], jnp.int32(-1)))
+                    nsp = jnp.where(has, nsp - 1, nsp)
+                cvals = []
+                for _ in range(cluster_pops):
+                    chas = csp > 0
+                    cvals.append(jnp.where(
+                        chas, cstack[jnp.maximum(csp - 1, 0)], jnp.int32(0)))
+                    csp = jnp.maximum(csp - 1, 0)
+                for cval in cvals:
+                    start = jnp.clip(cval // 256, 0, tri_rows - k_cluster)
+                    count = cval % 256
+                    get = _tri_getter(tri_ref[pl.ds(start, k_cluster), :],
+                                      False)
+                    for j in range(k_cluster):
+                        t, u, v, hitg = _mt_scalar_tri(
+                            get, j, ox, oy, oz, dx, dy, dz)
+                        hit = hitg & (j < count) & (t < bt)
+                        tri_id = get(j, 9).astype(jnp.int32)
+                        bt = jnp.where(hit, t, bt)
+                        btri = jnp.where(hit, tri_id, btri)
+                        bu = jnp.where(hit, u, bu)
+                        bv = jnp.where(hit, v, bv)
+                for c_node in ncodes:
+                    valid_pop = c_node >= 0
+                    nid = jnp.clip(c_node, 0, num_nodes - 1)
+                    row = nodes_ref[pl.ds(nid, 1), :]
+                    crow = child_ref[pl.ds(nid, 1), :]
+                    ordw = _select_order_word(crow, oct_idx)
+                    hits, codes = [], []
+                    for s in range(A):
+                        hit_s, _ = _slab(row, 6 * s, ox, oy, oz,
+                                         ix, iy, iz, bt)
+                        hits.append(hit_s & valid_pop)
+                        codes.append(crow[0, s])
+                    anyh = _children_any_hit(hits)
+                    for pos in range(A - 1, -1, -1):
+                        slot = (ordw >> (4 * pos)) & 15
+                        csel = jnp.int32(-1)
+                        hsel = False
+                        for s in range(A):
+                            is_s = slot == s
+                            csel = jnp.where(is_s, codes[s], csel)
+                            hsel = jnp.logical_or(
+                                jnp.logical_and(is_s, anyh[s]), hsel)
+                        is_node = hsel & (csel >= 0) & (nsp < nstack_depth)
+                        cpush = -(csel + 1)
+                        is_clus = hsel & (csel < 0) & (cpush > 0) & (
+                            csp < cstack_depth)
+
+                        @pl.when(is_node)
+                        def _(csel=csel, nsp=nsp):
+                            nstack[nsp] = csel
+
+                        nsp = nsp + is_node.astype(jnp.int32)
+
+                        @pl.when(is_clus)
+                        def _(cpush=cpush, csp=csp):
+                            cstack[csp] = cpush
+
+                        csp = csp + is_clus.astype(jnp.int32)
+                return (step + 1, nsp, csp, bt, btri, bu, bv)
+
+            fin = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), nsp0, csp0, bt, btri, bu, bv))
+            bt, btri, bu, bv = fin[3], fin[4], fin[5], fin[6]
+
+            # consume the drained slot (at most one per lane matches): from
+            # the match position on, every slot pulls its successor up
+            s_t2, s_c2 = list(s_t), list(s_c)
+            shifted = jnp.zeros((rows, LANES), jnp.bool_)
+            for i in range(S):
+                shifted = shifted | (s_c[i] == root)
+                nt_i = s_t[i + 1] if i + 1 < S else inf
+                nc_i = s_c[i + 1] if i + 1 < S else none
+                s_t2[i] = jnp.where(shifted, nt_i, s_t[i])
+                s_c2[i] = jnp.where(shifted, nc_i, s_c[i])
+            return (bt, btri, bu, bv, tuple(s_t2), tuple(s_c2),
+                    thr_t, thr_c, exhausted)
+
+        # ------------------------------------------------------------------
+        # round loop
+        # ------------------------------------------------------------------
+        MODE_SCAN = 0
+
+        def outer_cond(c):
+            step, done = c[0], c[1]
+            return (done == 0) & (step < max_rounds)
+
+        def outer_body(c):
+            step, done, mode = c[0], c[1], c[2]
+            state = c[3:]
+            s_t_flat = state[4:4 + S]
+            s_c_flat = state[4 + S:4 + 2 * S]
+            packed = (state[0], state[1], state[2], state[3],
+                      tuple(s_t_flat), tuple(s_c_flat),
+                      state[4 + 2 * S], state[5 + 2 * S], state[6 + 2 * S])
+            out = jax.lax.cond(mode == MODE_SCAN, scan_round, drain_round,
+                               packed)
+            (bt, btri, bu, bv, s_t, s_c, thr_t, thr_c, exhausted) = out
+            any_slot = jnp.max(jnp.where(
+                (s_c[0] != NONE_CODE) & (s_t[0] < bt), 1, 0))
+            need_scan = jnp.max(jnp.where(
+                (s_c[0] == NONE_CODE) & (exhausted == 0) & (thr_t < bt),
+                1, 0))
+            done = jnp.where((any_slot == 0) & (need_scan == 0),
+                             jnp.int32(1), jnp.int32(0))
+            mode = jnp.where(any_slot > 0, jnp.int32(1), jnp.int32(0))
+            return (step + 1, done, mode, bt, btri, bu, bv,
+                    *s_t, *s_c, thr_t, thr_c, exhausted)
+
+        bt0 = jnp.minimum(tm, _INF)
+        done0 = (jnp.max(bt0) <= 0.0).astype(jnp.int32)
+        init = (jnp.int32(0), done0, jnp.int32(MODE_SCAN),
+                bt0, neg1, zeros, zeros)
+        init += tuple(inf for _ in range(S))
+        init += tuple(none for _ in range(S))
+        init += (jnp.full((rows, LANES), -_INF, jnp.float32),
+                 jnp.full((rows, LANES), INT_MIN, jnp.int32),
+                 jnp.zeros((rows, LANES), jnp.int32))
+        fin = jax.lax.while_loop(outer_cond, outer_body, init)
+        bt_out[0, :, :] = fin[3]
+        btri_out[0, :, :] = fin[4]
+        bu_out[0, :, :] = fin[5]
+        bv_out[0, :, :] = fin[6]
+
+    return kernel
+
+
+# default knobs (shared heritage with the wide kernel; swept on v5e)
+SLOTS = 4
+MAX_ROUNDS = 4096
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stack_depth", "node_pops", "group",
+                                    "cluster_pops", "slots", "max_rounds"))
+def treelet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
+                        t_max: jnp.ndarray,
+                        stack_depth: int = NSTACK_DEPTH,
+                        node_pops: int = 4, group: int = 2,
+                        cluster_pops: int = 4, slots: int = SLOTS,
+                        max_rounds: int = MAX_ROUNDS) -> HitRecord:
+    assert pack.top_f32 is not None, (
+        "BVH_TREELET requires treelet tables (bvh.treelet.attach_treelets)")
+    assert not pack.stream_tris, "treelet kernel is VMEM-resident for now"
+    rows = SUBLANES * group
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
+                                                           group)
+    kernel = _make_kernel_treelet(
+        pack.num_nodes, pack.num_top, pack.max_cluster, stack_depth,
+        CSTACK_DEPTH, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
+        slots=slots, node_pops=node_pops, cluster_pops=cluster_pops,
+        rows=rows, max_rounds=max_rounds)
+    ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
+    ]
+    bt, btri, bu, bv = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[ray_spec] * 7 + [tab_spec] * 6,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32),
+                        pltpu.SMEM((CSTACK_DEPTH + 2,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(ox, oy, oz, dx, dy, dz, tm, pack.node_f32, pack.node_child,
+      pack.tri_f32, pack.top_f32, pack.top_child, pack.top_tref)
+
+    flat = lambda a: a.reshape(-1)[:n]
+    bt = flat(bt)
+    btri = flat(btri)
+    return HitRecord(
+        t=jnp.where(btri >= 0, bt, FLT_MAX),
+        tri=btri,
+        u=flat(bu),
+        v=flat(bv),
+    )

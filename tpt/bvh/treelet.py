@@ -1,0 +1,122 @@
+"""Treelet cut of the wide packet BVH — host-side tables for the
+self-rebinning traversal kernel (bvh/pallas_treelet.py).
+
+Why (measured, BENCHMARKS.md §1/§4): the wide packet kernel charges every
+lane of a 2048-ray super-packet for the packet's node-visit UNION, and for
+incoherent bounce rays that union approaches the whole tree — frames are
+~85% extension cast at 3.2 Mrays/s. The reference's per-ray MIMD traversal
+(/root/reference/src/kernels/ray_cast.cu:12-122) gets divergence for free;
+the TPU-native answer is packet-level MIMD over subtrees: cut the BVH into
+treelets of <= max_tris triangles, have each lane nominate the few treelets
+its ray actually enters (nearest-first), and traverse each requested
+subtree once per packet — the per-visit dense work then scales with
+per-treelet unions instead of the whole-tree union.
+
+The cut produces a TOP TREE over the existing wide-node table:
+- top nodes = wide nodes whose subtree holds > max_tris triangles (the
+  node ids are re-indexed BFS so the top root is row 0);
+- a top node's child slot is either another top node (internal) or a
+  treelet reference whose "phase-2 code" is the wide-table child code
+  itself (>= 0: wide node id, < 0: cluster code) — so treelet subtrees
+  reuse the packet tables unchanged and need no duplication.
+
+Everything here runs once at scene build (numpy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from .pack import PacketBVH, decode_cluster
+
+
+def subtree_sizes(pack: PacketBVH) -> np.ndarray:
+    """Triangles under each wide node. Children have larger BFS ids than
+    their parent (build_packet_bvh_wide assigns ids at queue-pop), so one
+    reverse sweep suffices."""
+    child = np.asarray(pack.node_child)
+    nt = child.shape[0]
+    size = np.zeros(nt, np.int64)
+    arity = pack.arity
+    for i in range(nt - 1, -1, -1):
+        s = 0
+        for c in child[i, :arity]:
+            c = int(c)
+            if c == -1:
+                continue
+            if c >= 0:
+                s += size[c]
+            else:
+                s += decode_cluster(c)[1]
+        size[i] = s
+    return size
+
+
+def attach_treelets(pack: PacketBVH, max_tris: int = 1024) -> PacketBVH:
+    """Return `pack` with top-tree tables attached (PacketBVH.top_*)."""
+    assert pack.arity > 2, "treelet cut is a wide-pack feature"
+    child = np.asarray(pack.node_child)
+    nodes = np.asarray(pack.node_f32)
+    arity = pack.arity
+    size = subtree_sizes(pack)
+
+    if size[0] <= max_tris:
+        # whole scene fits one treelet: a single pseudo top node whose only
+        # slot is a treelet ref covering the wide root. Its box = union of
+        # the root's child boxes.
+        width = nodes.shape[1]
+        top_f32 = np.full((1, width), 3.0e38, np.float32)
+        lo = np.full(3, np.inf, np.float32)
+        hi = np.full(3, -np.inf, np.float32)
+        for s in range(arity):
+            if int(child[0, s]) == -1:
+                continue
+            box = nodes[0, 6 * s:6 * s + 6]
+            lo = np.minimum(lo, box[0:3])
+            hi = np.maximum(hi, box[3:6])
+        top_f32[0, 0:3] = lo
+        top_f32[0, 3:6] = hi
+        top_child = np.full((1, 16), -1, np.int32)
+        top_child[0, 8:16] = 0x76543210  # identity order words
+        top_tref = np.zeros((1, 8), np.int32)
+        top_tref[0, 0] = 0  # wide root node id
+        return dataclasses.replace(
+            pack, top_f32=jnp.asarray(top_f32),
+            top_child=jnp.asarray(top_child),
+            top_tref=jnp.asarray(top_tref),
+            num_top=1, num_treelets=1, treelet_max=int(max_tris))
+
+    is_top = size > max_tris
+    top_ids = np.nonzero(is_top)[0]
+    remap = np.full(child.shape[0], -1, np.int64)
+    remap[top_ids] = np.arange(top_ids.size)
+    assert remap[0] == 0, "wide root must stay top row 0"
+
+    ntop = top_ids.size
+    width = nodes.shape[1]
+    top_f32 = nodes[top_ids].copy()
+    top_child = np.full((ntop, 16), -1, np.int32)
+    top_child[:, 8:16] = child[top_ids, 8:16]  # octant order words (same boxes)
+    top_tref = np.zeros((ntop, 8), np.int32)
+
+    n_treelets = 0
+    for r, i in enumerate(top_ids):
+        for s in range(arity):
+            c = int(child[i, s])
+            if c == -1:
+                continue  # empty slot: box never hits; tref stays 0 unused
+            if c >= 0 and is_top[c]:
+                top_child[r, s] = remap[c]
+            else:
+                # treelet ref: phase-2 root code = the wide-table code
+                top_tref[r, s] = c
+                n_treelets += 1
+
+    return dataclasses.replace(
+        pack, top_f32=jnp.asarray(top_f32),
+        top_child=jnp.asarray(top_child), top_tref=jnp.asarray(top_tref),
+        num_top=int(ntop), num_treelets=int(n_treelets),
+        treelet_max=int(max_tris))

@@ -31,6 +31,17 @@ class RayCastBackend(IntEnum):
     BRUTE_FORCE = 0
     BVH_XLA = 1
     BVH_PALLAS = 2
+    # self-rebinning treelet kernel (bvh/pallas_treelet.py): packet-level
+    # MIMD over subtrees — per-lane candidate-treelet slots + one shared
+    # subtree traversal per round; closest-hit only (any-hit stays on the
+    # wide kernel: shadow rays inherit the hit points' coherence)
+    BVH_TREELET = 3
+
+    @property
+    def is_packet(self) -> bool:
+        """Backends built on the Pallas packet kernels (want coherence
+        sorting, split-bounce dispatch, and the adaptive pool)."""
+        return self in (RayCastBackend.BVH_PALLAS, RayCastBackend.BVH_TREELET)
 
 
 @dataclass(frozen=True)
@@ -94,6 +105,11 @@ class RenderConfig:
     trav_group_primary: int = 4
     trav_node_pops: int = 4
     trav_cluster_pops: int = 4
+    # treelet kernel knobs (BVH_TREELET): candidate slots per lane, and a
+    # round-count safety cap (hits = missing intersections; the
+    # brute-force agreement tests guard it)
+    treelet_slots: int = 4
+    treelet_max_rounds: int = 4096
     # two-pass extension cast: first cast with t_max = frac * world
     # diagonal (a bounded per-lane limit collapses the packet's node-visit
     # union — far subtrees fail the slab test for every lane), then

@@ -59,6 +59,33 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                 scene.mesh, scene.pack, o, d, t_max, **knobs),
             name="bvh_pallas",
         )
+    if cfg.backend == RayCastBackend.BVH_TREELET:
+        from ..bvh.pallas_traverse import pallas_any_hit
+        from ..bvh.pallas_treelet import treelet_closest_hit
+        from ..integrators.intersect import FLT_MAX as _FMAX
+
+        pack = scene.pack
+        if pack is None or pack.top_f32 is None:
+            raise ValueError(
+                "BVH_TREELET requires treelet tables "
+                "(host.build(with_bvh=True) attaches them for wide packs)")
+        knobs = dict(group=primary_rays and cfg.trav_group_primary
+                     or cfg.trav_group,
+                     node_pops=cfg.trav_node_pops,
+                     cluster_pops=cfg.trav_cluster_pops,
+                     slots=cfg.treelet_slots,
+                     max_rounds=cfg.treelet_max_rounds)
+        any_knobs = dict(group=cfg.trav_group, node_pops=cfg.trav_node_pops,
+                         cluster_pops=cfg.trav_cluster_pops)
+        return Raycaster(
+            closest_hit=lambda o, d, t_max=None: treelet_closest_hit(
+                pack, o, d,
+                jnp.full((o.shape[0],), _FMAX) if t_max is None else t_max,
+                **knobs),
+            any_hit=lambda o, d, t_max: pallas_any_hit(
+                scene.mesh, pack, o, d, t_max, **any_knobs),
+            name="bvh_treelet",
+        )
     from ..bvh.traverse import bvh_closest_hit, bvh_any_hit
 
     return Raycaster(

@@ -160,7 +160,7 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
     from ..config import RayCastBackend
 
-    do_sort = cfg.sort_bounce_rays and cfg.backend == RayCastBackend.BVH_PALLAS
+    do_sort = cfg.sort_bounce_rays and cfg.backend.is_packet
 
     if True:  # keep original indentation of the bounce body
         (ori, direction, throughput, last_pdf, state, alive,
@@ -372,7 +372,7 @@ def finish_carry(cfg: RenderConfig, carry) -> FrameOutput:
 
     direct, indirect, pixel_idx, gbuf, rays = (
         carry[6], carry[7], carry[8], carry[9], carry[10])
-    if cfg.sort_bounce_rays and cfg.backend == RayCastBackend.BVH_PALLAS:
+    if cfg.sort_bounce_rays and cfg.backend.is_packet:
         direct, indirect = unsort_by_pixel(pixel_idx, direct, indirect)
     nan_guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
     return FrameOutput(direct=nan_guard(direct), indirect=nan_guard(indirect),
@@ -401,7 +401,7 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
     raycaster_primary = make_raycaster(scene, cfg, primary_rays=True)
     vp = camera_view_proj(cam)
     if split_bounces is None:
-        split_bounces = cfg.backend == RayCastBackend.BVH_PALLAS
+        split_bounces = cfg.backend.is_packet
 
     if not split_bounces:
         @jax.jit
@@ -502,8 +502,7 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
 def do_adaptive_pool(cfg: RenderConfig) -> bool:
     from ..config import RayCastBackend
 
-    return (cfg.adaptive_pool
-            and cfg.backend == RayCastBackend.BVH_PALLAS)
+    return cfg.adaptive_pool and cfg.backend.is_packet
 
 
 def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,

@@ -66,7 +66,8 @@ class HostScene:
 
     def build(self, with_bvh: bool = False, bvh_builder: str = "auto",
               max_cluster: int = 16, packet_arity: int = 4,
-              stream_tris: "bool | str" = "auto") -> SceneData:
+              stream_tris: "bool | str" = "auto",
+              treelet_max_tris: int = 1024) -> SceneData:
         """Upload everything to device pytrees; optionally build the BVH.
 
         bvh_builder: "sah" (native C++ binned SAH — better traversal),
@@ -163,5 +164,12 @@ class HostScene:
                 from ..bvh.pack import align_clusters_for_stream
 
                 pack = align_clusters_for_stream(pack)
+            elif pack.arity > 2:
+                # top-tree tables for the self-rebinning treelet backend
+                # (cheap numpy walk; lets BVH_TREELET switch on without a
+                # scene rebuild). Streaming packs skip it for now.
+                from ..bvh.treelet import attach_treelets
+
+                pack = attach_treelets(pack, max_tris=treelet_max_tris)
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
                          env=env, bvh=bvh, pack=pack)
