@@ -140,6 +140,28 @@ def main():
             from tpt.bvh.pallas_traverse import packet_any_hit
 
             fn_any = lambda o, d, t: packet_any_hit(pack, o, d, t)
+        elif parts[0] == "t":
+            # treelet kernel: t:MAX_TRIS[:SLOTS[:GROUP[:NODE_POPS[:CPOPS]]]]
+            from tpt.bvh.pallas_treelet import treelet_closest_hit
+            from tpt.bvh.treelet import attach_treelets
+
+            mt = int(parts[1])
+            sl = int(parts[2]) if len(parts) > 2 else 4
+            grp = int(parts[3]) if len(parts) > 3 else 2
+            np_ = int(parts[4]) if len(parts) > 4 else 4
+            cp = int(parts[5]) if len(parts) > 5 else 4
+            pack = attach_treelets(
+                build_packet_bvh_wide(mesh, bvh, max_cluster=16, arity=4),
+                max_tris=mt)
+            print(f"[trav] treelet cut: {pack.num_top} top nodes, "
+                  f"{pack.num_treelets} treelets", file=sys.stderr)
+            fn = lambda o, d, t: treelet_closest_hit(
+                pack, o, d, t, node_pops=np_, group=grp, cluster_pops=cp,
+                slots=sl)
+            from tpt.bvh.pallas_traverse import packet_any_hit_wide
+
+            fn_any = lambda o, d, t: packet_any_hit_wide(
+                pack, o, d, t, node_pops=np_, group=grp, cluster_pops=cp)
         else:
             arity, k, np_ = int(parts[0]), int(parts[1]), int(parts[2])
             grp = int(parts[3]) if len(parts) > 3 else 1

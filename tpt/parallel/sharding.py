@@ -49,7 +49,8 @@ def replicate(mesh: Mesh, tree):
 
 def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
                       mesh: Mesh, axis: str = "dp", with_svgf: bool = True,
-                      use_shard_map: bool = True):
+                      use_shard_map: bool = True,
+                      split_bounces: bool = False):
     """Jitted full step over the mesh: one wavefront 1-spp frame (pixels
     sharded) + SVGF (rows sharded, halo exchange) + accumulation.
 
@@ -61,6 +62,17 @@ def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
     lax.sort over sharded rays would insert all-to-alls every bounce).
     SVGF stays under GSPMD row sharding so its stencil halos become
     collective-permutes on ICI.
+
+    `split_bounces=True` additionally dispatches one jitted shard_map
+    program per bounce instead of fusing the whole frame: on real
+    hardware a deep-bounce frame over a large scene exceeds the device
+    program watchdog as one program (the reason wavefront.make_frame_fn
+    defaults to split mode for the packet backends — wavefront.py). The
+    per-bounce psum'd alive count is the one 4-byte readback per bounce
+    (the reference's queue-counter readback,
+    /root/reference/src/pathtrace_wavefront.cu:285-287) and stops the
+    frame early when no path survives. Bitwise-identical to the fused
+    path (tests/test_parallel.py).
 
     Returns (step_fn, init_state_fn, view_proj). step_fn(iteration,
     prev_vp, carry) -> (rgb [H, W] Vec3 row-sharded, carry')."""
@@ -109,22 +121,9 @@ def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
             out_specs=(P(axis), P(axis), P(axis), P()),
             check_vma=False)
 
-    @partial(jax.jit, static_argnames=())
-    def step(iteration, prev_vp, carry):
-        acc_d, acc_i, svgf_state = carry
-        if use_shard_map:
-            ori, direction, state = wavefront.generate_camera_rays(
-                cam, iteration, cfg.jitter)
-            direct, indirect, gbuf, rays = sharded_bounces(
-                prev_vp, ori, direction, state)
-            out = wavefront.FrameOutput(direct=direct, indirect=indirect,
-                                        gbuf=gbuf, rays_traced=rays)
-        else:
-            out = wavefront.trace_frame(
-                scene_repl, raycaster, cam, cfg, iteration, vp, prev_vp)
+    def finish_and_denoise(out, acc_d, acc_i, svgf_state):
         acc_d = acc_d + out.direct
         acc_i = acc_i + out.indirect
-
         if with_svgf:
             plane = lambda a: a.reshape(h, w)
             p3 = lambda v: Vec3(plane(v.x), plane(v.y), plane(v.z))
@@ -139,6 +138,94 @@ def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
             rgb = Vec3(total.x.reshape(h, w), total.y.reshape(h, w),
                        total.z.reshape(h, w))
         return rgb, (acc_d, acc_i, svgf_state)
+
+    if split_bounces:
+        assert use_shard_map, "split mode is a shard_map execution shape"
+        raycaster_primary = make_raycaster(scene, cfg, primary_rays=True)
+
+        def carry_specs(carry):
+            return jax.tree_util.tree_map(
+                lambda a: P(axis) if getattr(a, "ndim", 0) >= 1 else P(),
+                carry)
+
+        # build spec template from an abstract carry (shapes only)
+        _tmpl = jax.eval_shape(
+            lambda: wavefront.init_carry(
+                cfg, Vec3.zeros((n,)), Vec3.zeros((n,)),
+                jnp.zeros((n,), jnp.uint32)))
+        _cspec = carry_specs(_tmpl)
+
+        @partial(jax.jit, out_shardings=jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), _cspec))
+        def start(iteration):
+            ori, direction, state = wavefront.generate_camera_rays(
+                cam, iteration, cfg.jitter)
+            return wavefront.init_carry(cfg, ori, direction, state)
+
+        def one_bounce(depth_static, prev_vp, carry):
+            ray = raycaster_primary if depth_static == 0 else raycaster
+
+            def local(prev_vp, carry):
+                out = wavefront._bounce_body(
+                    scene_repl, ray, cam, cfg, vp, prev_vp,
+                    jnp.int32(depth_static), carry,
+                    first_static=depth_static == 0)
+                alive = jax.lax.psum(
+                    jnp.sum(out[5].astype(jnp.int32)), axis)
+                return out, alive
+
+            return jax.shard_map(
+                local, mesh=mesh, in_specs=(P(), _cspec),
+                out_specs=(_cspec, P()), check_vma=False)(prev_vp, carry)
+
+        bounce_jits = {}
+
+        def bounce_at(depth, prev_vp, carry):
+            if depth not in bounce_jits:
+                bounce_jits[depth] = jax.jit(
+                    partial(one_bounce, depth))
+            return bounce_jits[depth](prev_vp, carry)
+
+        @jax.jit
+        def finish(carry, acc_d, acc_i, svgf_state):
+            def local(carry):
+                out = wavefront.finish_carry(cfg, carry)
+                return (out.direct, out.indirect, out.gbuf,
+                        jax.lax.psum(out.rays_traced, axis))
+
+            direct, indirect, gbuf, rays = jax.shard_map(
+                local, mesh=mesh, in_specs=(_cspec,),
+                out_specs=(P(axis), P(axis), P(axis), P()),
+                check_vma=False)(carry)
+            out = wavefront.FrameOutput(direct=direct, indirect=indirect,
+                                        gbuf=gbuf, rays_traced=rays)
+            return finish_and_denoise(out, acc_d, acc_i, svgf_state)
+
+        def step(iteration, prev_vp, carry):
+            acc_d, acc_i, svgf_state = carry
+            bcarry = start(iteration)
+            for depth in range(cfg.trace_depth):
+                bcarry, alive = bounce_at(depth, prev_vp, bcarry)
+                if int(np.asarray(alive)) == 0:
+                    break
+            return finish(bcarry, acc_d, acc_i, svgf_state)
+
+        return step, init_state, vp
+
+    @partial(jax.jit, static_argnames=())
+    def step(iteration, prev_vp, carry):
+        acc_d, acc_i, svgf_state = carry
+        if use_shard_map:
+            ori, direction, state = wavefront.generate_camera_rays(
+                cam, iteration, cfg.jitter)
+            direct, indirect, gbuf, rays = sharded_bounces(
+                prev_vp, ori, direction, state)
+            out = wavefront.FrameOutput(direct=direct, indirect=indirect,
+                                        gbuf=gbuf, rays_traced=rays)
+        else:
+            out = wavefront.trace_frame(
+                scene_repl, raycaster, cam, cfg, iteration, vp, prev_vp)
+        return finish_and_denoise(out, acc_d, acc_i, svgf_state)
 
     return step, init_state, vp
 
