@@ -132,6 +132,61 @@ def main():
         np.asarray(hit.t)
         return nn * reps / (time.time() - t0) / 1e6
 
+    def bench_seeded(pack, o, d, knobs, reps=3):
+        """Seeded treelet pipeline, staged: phase-1 scan -> ordinal sort ->
+        seeded cast. Reports per-stage ms + end-to-end Mrays/s."""
+        from tpt.bvh.pallas_treelet import treelet_scan, treelet_closest_hit
+
+        grp, np_, cp, sl = knobs
+
+        @jax.jit
+        def scan(o, d):
+            return treelet_scan(pack, o, d, tmax, node_pops=np_, group=grp)
+
+        @jax.jit
+        def sort_stage(o, d, st, sc, so, ovf):
+            key = jnp.where(sc != 0x7FFFFFFF, so, jnp.int32(1 << 30))
+            dkey = raysort.coherence_key(o, d, world_lo, world_inv,
+                                         mode="dir_major")
+            (_, _, ox, oy, oz, dx, dy, dz, st2, sc2, ovf2) = jax.lax.sort(
+                (key, dkey, o.x, o.y, o.z, d.x, d.y, d.z, st, sc, ovf),
+                num_keys=2)
+            return Vec3(ox, oy, oz), Vec3(dx, dy, dz), st2, sc2, ovf2
+
+        def cast(o, d, st, sc, ovf):
+            return treelet_closest_hit(pack, o, d, tmax, node_pops=np_,
+                                       group=grp, cluster_pops=cp, slots=sl,
+                                       seed=(st, sc, ovf))
+
+        stages = {}
+        seeds = scan(o, d)
+        np.asarray(seeds[0])
+        t0 = time.time()
+        for _ in range(reps):
+            seeds = scan(o, d)
+        np.asarray(seeds[0])
+        stages["scan"] = (time.time() - t0) / reps * 1e3
+
+        st, sc, so, ovf = seeds
+        sorted_ = sort_stage(o, d, st, sc, so, ovf)
+        np.asarray(sorted_[0].x)
+        t0 = time.time()
+        for _ in range(reps):
+            sorted_ = sort_stage(o, d, st, sc, so, ovf)
+        np.asarray(sorted_[0].x)
+        stages["sort"] = (time.time() - t0) / reps * 1e3
+
+        o2, d2, st2, sc2, ovf2 = sorted_
+        hit = cast(o2, d2, st2, sc2, ovf2)
+        np.asarray(hit.t)
+        t0 = time.time()
+        for _ in range(reps):
+            hit = cast(o2, d2, st2, sc2, ovf2)
+        np.asarray(hit.t)
+        stages["cast"] = (time.time() - t0) / reps * 1e3
+        total = sum(stages.values())
+        return nn / total / 1e3, stages
+
     for cfg in cfgs:
         parts = cfg.split(":")
         if parts[0] == "v1":
@@ -140,6 +195,30 @@ def main():
             from tpt.bvh.pallas_traverse import packet_any_hit
 
             fn_any = lambda o, d, t: packet_any_hit(pack, o, d, t)
+        elif parts[0] == "ts":
+            # seeded treelet pipeline: ts:MAX_TRIS[:SLOTS[:GROUP[:NP[:CP]]]]
+            from tpt.bvh.treelet import attach_treelets
+
+            mt = int(parts[1])
+            sl = int(parts[2]) if len(parts) > 2 else 4
+            grp = int(parts[3]) if len(parts) > 3 else 2
+            np_ = int(parts[4]) if len(parts) > 4 else 4
+            cp = int(parts[5]) if len(parts) > 5 else 4
+            pack = attach_treelets(
+                build_packet_bvh_wide(mesh, bvh, max_cluster=16, arity=4),
+                max_tris=mt)
+            print(f"[trav] treelet cut: {pack.num_top} top nodes, "
+                  f"{pack.num_treelets} treelets", file=sys.stderr)
+            for pop_name, (o, d) in pops.items():
+                t0 = time.time()
+                mrays, stages = bench_seeded(pack, o, d, (grp, np_, cp, sl))
+                print(json.dumps({
+                    "metric": f"seeded_pipeline {cfg} {pop_name}",
+                    "value": round(mrays, 3), "unit": "Mrays/s",
+                    "stages_ms": {k: round(v, 1) for k, v in stages.items()},
+                    "wall": round(time.time() - t0, 1)}))
+                sys.stdout.flush()
+            continue
         elif parts[0] == "t":
             # treelet kernel: t:MAX_TRIS[:SLOTS[:GROUP[:NODE_POPS[:CPOPS]]]]
             from tpt.bvh.pallas_treelet import treelet_closest_hit

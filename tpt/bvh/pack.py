@@ -49,6 +49,7 @@ class PacketBVH:
     top_f32: jnp.ndarray = None      # [Ntop, width] child boxes
     top_child: jnp.ndarray = None    # [Ntop, 16] internal ids + order words
     top_tref: jnp.ndarray = None     # [Ntop, 8] treelet phase-2 root codes
+    top_tord: jnp.ndarray = None     # [Ntop, 8] treelet ordinals (sort keys)
     num_top: int = field(metadata=dict(static=True), default=0)
     num_treelets: int = field(metadata=dict(static=True), default=0)
     treelet_max: int = field(metadata=dict(static=True), default=0)

@@ -78,13 +78,17 @@ def _make_kernel_treelet(num_nodes: int, num_top: int, k_cluster: int,
                          nstack_depth: int, cstack_depth: int,
                          tri_rows: int, arity: int, slots: int,
                          node_pops: int, cluster_pops: int,
-                         rows: int, max_rounds: int):
+                         rows: int, max_rounds: int, seeded: bool = False):
     A = arity
     S = slots
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, child_ref, tri_ref, top_ref, topc_ref, tref_ref,
-               bt_out, btri_out, bu_out, bv_out, nstack, cstack):
+               *rest):
+        if seeded:
+            seedt_ref, seedc_ref, exh_ref = rest[0], rest[1], rest[2]
+            rest = rest[3:]
+        bt_out, btri_out, bu_out, bv_out, nstack, cstack = rest
         ox = ox_ref[0]
         oy = oy_ref[0]
         oz = oz_ref[0]
@@ -348,14 +352,40 @@ def _make_kernel_treelet(num_nodes: int, num_top: int, k_cluster: int,
                     *s_t, *s_c, thr_t, thr_c, exhausted)
 
         bt0 = jnp.minimum(tm, _INF)
-        done0 = (jnp.max(bt0) <= 0.0).astype(jnp.int32)
-        init = (jnp.int32(0), done0, jnp.int32(MODE_SCAN),
-                bt0, neg1, zeros, zeros)
-        init += tuple(inf for _ in range(S))
-        init += tuple(none for _ in range(S))
-        init += (jnp.full((rows, LANES), -_INF, jnp.float32),
-                 jnp.full((rows, LANES), INT_MIN, jnp.int32),
-                 jnp.zeros((rows, LANES), jnp.int32))
+        if seeded:
+            # slot 0 arrives from the phase-1 scan over the unsorted pool
+            # (wavefront plumbs it through the coherence sort); the
+            # threshold starts AT the seed — phase 1 emitted the lex-min
+            # candidate, so every other candidate lies beyond it
+            seed_t = seedt_ref[0]
+            seed_c = seedc_ref[0]
+            exh0 = exh_ref[0]
+            valid_seed = (seed_c != NONE_CODE) & (seed_t < bt0)
+            s_t0 = [jnp.where(valid_seed, seed_t, _INF)]
+            s_c0 = [jnp.where(valid_seed, seed_c, NONE_CODE)]
+            s_t0 += [inf for _ in range(S - 1)]
+            s_c0 += [none for _ in range(S - 1)]
+            thr_t0 = jnp.where(valid_seed, seed_t, -_INF)
+            thr_c0 = jnp.where(valid_seed, seed_c, INT_MIN)
+            any_slot0 = jnp.max(valid_seed.astype(jnp.int32))
+            need_scan0 = jnp.max(jnp.where(
+                ~valid_seed & (exh0 == 0) & (bt0 > 0.0), 1, 0))
+            done0 = jnp.where((any_slot0 == 0) & (need_scan0 == 0),
+                              jnp.int32(1), jnp.int32(0))
+            mode0 = jnp.where(any_slot0 > 0, jnp.int32(1),
+                              jnp.int32(MODE_SCAN))
+        else:
+            s_t0 = [inf for _ in range(S)]
+            s_c0 = [none for _ in range(S)]
+            thr_t0 = jnp.full((rows, LANES), -_INF, jnp.float32)
+            thr_c0 = jnp.full((rows, LANES), INT_MIN, jnp.int32)
+            exh0 = jnp.zeros((rows, LANES), jnp.int32)
+            done0 = (jnp.max(bt0) <= 0.0).astype(jnp.int32)
+            mode0 = jnp.int32(MODE_SCAN)
+        init = (jnp.int32(0), done0, mode0, bt0, neg1, zeros, zeros)
+        init += tuple(s_t0)
+        init += tuple(s_c0)
+        init += (thr_t0, thr_c0, exh0)
         fin = jax.lax.while_loop(outer_cond, outer_body, init)
         bt_out[0, :, :] = fin[3]
         btri_out[0, :, :] = fin[4]
@@ -363,6 +393,147 @@ def _make_kernel_treelet(num_nodes: int, num_top: int, k_cluster: int,
         bv_out[0, :, :] = fin[6]
 
     return kernel
+
+
+def _make_kernel_scan(num_top: int, arity: int, node_pops: int, rows: int):
+    """Phase-1-only kernel: traverse the top tree once and emit, per lane,
+    the lexicographically nearest (entry_t, code) treelet candidate plus
+    its dense ordinal (for the coherence-sort key) and an overflow flag
+    (>= 2 candidates existed). The wavefront integrator sorts the pool by
+    the ordinal so the main kernel's packets agree on their first drain —
+    the global re-binning that packet-local slots cannot provide
+    (measured: without it, a 2048-lane bounce packet demands nearly every
+    treelet and the rounds degenerate to whole-tree work)."""
+    A = arity
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               top_ref, topc_ref, tref_ref, tord_ref,
+               st_out, sc_out, so_out, ovf_out, nstack):
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        bt = jnp.minimum(tmax_ref[0], _INF)
+        ix = _safe_inv(dx)
+        iy = _safe_inv(dy)
+        iz = _safe_inv(dz)
+        oct_idx = _packet_octant(dx, dy, dz)
+
+        none = jnp.full((rows, LANES), NONE_CODE, jnp.int32)
+        inf = jnp.full((rows, LANES), _INF, jnp.float32)
+        zero_i = jnp.zeros((rows, LANES), jnp.int32)
+
+        nstack[0] = jnp.int32(0)
+
+        def cond(st):
+            step, sp = st[0], st[1]
+            return (sp > 0) & (step < 8 * num_top + 1024)
+
+        def body(st):
+            step, sp, s_t, s_c, s_o, ovf = st
+            for _ in range(node_pops):
+                has = sp > 0
+                code = jnp.where(has, nstack[jnp.maximum(sp - 1, 0)],
+                                 jnp.int32(-1))
+                sp = jnp.where(has, sp - 1, sp)
+                nid = jnp.clip(code, 0, num_top - 1)
+                row = top_ref[pl.ds(nid, 1), :]
+                crow = topc_ref[pl.ds(nid, 1), :]
+                trow = tref_ref[pl.ds(nid, 1), :]
+                orow = tord_ref[pl.ds(nid, 1), :]
+                ordw = _select_order_word(crow, oct_idx)
+                valid_pop = code >= 0
+                limit = jnp.minimum(bt, s_t)
+                codes, anyh = [], []
+                for s in range(A):
+                    hit_s, tn_s = _slab(row, 6 * s, ox, oy, oz,
+                                        ix, iy, iz, limit)
+                    child_id = crow[0, s]
+                    is_internal = child_id >= 0
+                    tcode = trow[0, s]
+                    valid = (hit_s & (tn_s < bt) & valid_pop
+                             & jnp.logical_not(is_internal))
+                    cur_t = jnp.where(valid, tn_s, _INF)
+                    cur_c = jnp.where(valid, tcode, NONE_CODE)
+                    cur_o = jnp.where(valid, orow[0, s], 0)
+                    swap = _lex_lt(cur_t, cur_c, s_t, s_c)
+                    s_t, cur_t = (jnp.where(swap, cur_t, s_t),
+                                  jnp.where(swap, s_t, cur_t))
+                    s_c, cur_c2 = (jnp.where(swap, cur_c, s_c),
+                                   jnp.where(swap, s_c, cur_c))
+                    s_o = jnp.where(swap, cur_o, s_o)
+                    ovf = ovf | (cur_c2 != NONE_CODE).astype(jnp.int32)
+                    codes.append(child_id)
+                    anyh.append(hit_s & is_internal & valid_pop)
+                any_scalar = _children_any_hit(anyh)
+                for pos in range(A - 1, -1, -1):
+                    slot = (ordw >> (4 * pos)) & 15
+                    csel = jnp.int32(-1)
+                    hsel = False
+                    for s in range(A):
+                        is_s = slot == s
+                        csel = jnp.where(is_s, codes[s], csel)
+                        hsel = jnp.logical_or(
+                            jnp.logical_and(is_s, any_scalar[s]), hsel)
+                    do_push = hsel & (csel >= 0) & (sp < 256)
+
+                    @pl.when(do_push)
+                    def _(csel=csel, sp=sp):
+                        nstack[sp] = csel
+
+                    sp = sp + do_push.astype(jnp.int32)
+            return (step + 1, sp, s_t, s_c, s_o, ovf)
+
+        fin = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), (jnp.max(bt) > 0.0).astype(jnp.int32),
+             inf, none, zero_i, zero_i))
+        st_out[0, :, :] = fin[2]
+        sc_out[0, :, :] = fin[3]
+        so_out[0, :, :] = fin[4]
+        ovf_out[0, :, :] = fin[5]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("node_pops", "group"))
+def treelet_scan(pack: PacketBVH, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
+                 node_pops: int = 4, group: int = 2):
+    """Per-ray nearest-treelet candidate: (entry_t, code, ordinal,
+    overflow) flat arrays. Dead lanes (t_max <= 0) emit NONE_CODE with
+    overflow 0 (-> exhausted)."""
+    assert pack.top_f32 is not None
+    rows = SUBLANES * group
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
+                                                           group)
+    kernel = _make_kernel_scan(pack.num_top, pack.arity, node_pops, rows)
+    ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
+    ]
+    st, sc, so, ovf = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[ray_spec] * 7 + [tab_spec] * 4,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((258,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(ox, oy, oz, dx, dy, dz, tm, pack.top_f32, pack.top_child,
+      pack.top_tref, pack.top_tord)
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(st), flat(sc), flat(so), flat(ovf)
 
 
 # default knobs (shared heritage with the wide kernel; swept on v5e)
@@ -378,7 +549,12 @@ def treelet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
                         stack_depth: int = NSTACK_DEPTH,
                         node_pops: int = 4, group: int = 2,
                         cluster_pops: int = 4, slots: int = SLOTS,
-                        max_rounds: int = MAX_ROUNDS) -> HitRecord:
+                        max_rounds: int = MAX_ROUNDS,
+                        seed=None) -> HitRecord:
+    """`seed`: optional (seed_t, seed_code, overflow) flat arrays from
+    treelet_scan, already permuted by the caller's coherence sort — the
+    kernel then starts each lane at its phase-1 candidate instead of
+    scanning, and packets agree on their first drains by construction."""
     assert pack.top_f32 is not None, (
         "BVH_TREELET requires treelet tables (bvh.treelet.attach_treelets)")
     assert not pack.stream_tris, "treelet kernel is VMEM-resident for now"
@@ -389,7 +565,7 @@ def treelet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
         pack.num_nodes, pack.num_top, pack.max_cluster, stack_depth,
         CSTACK_DEPTH, tri_rows=pack.tri_f32.shape[0], arity=pack.arity,
         slots=slots, node_pops=node_pops, cluster_pops=cluster_pops,
-        rows=rows, max_rounds=max_rounds)
+        rows=rows, max_rounds=max_rounds, seeded=seed is not None)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -399,10 +575,23 @@ def treelet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
     ]
+    seed_ops = []
+    seed_specs = []
+    if seed is not None:
+        st, sc, ovf = seed
+        n_pad = nt * rows * LANES
+
+        def pad3(v, fill):
+            return jnp.pad(v, (0, n_pad - n),
+                           constant_values=fill).reshape(nt, rows, LANES)
+
+        # padded lanes: no candidate, exhausted
+        seed_ops = [pad3(st, _INF), pad3(sc, NONE_CODE), pad3(1 - ovf, 1)]
+        seed_specs = [ray_spec] * 3
     bt, btri, bu, bv = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[ray_spec] * 7 + [tab_spec] * 6,
+        in_specs=[ray_spec] * 7 + [tab_spec] * 6 + seed_specs,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32),
@@ -413,7 +602,7 @@ def treelet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
         ),
         interpret=_interpret(),
     )(ox, oy, oz, dx, dy, dz, tm, pack.node_f32, pack.node_child,
-      pack.tri_f32, pack.top_f32, pack.top_child, pack.top_tref)
+      pack.tri_f32, pack.top_f32, pack.top_child, pack.top_tref, *seed_ops)
 
     flat = lambda a: a.reshape(-1)[:n]
     bt = flat(bt)

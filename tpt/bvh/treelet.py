@@ -83,10 +83,12 @@ def attach_treelets(pack: PacketBVH, max_tris: int = 1024) -> PacketBVH:
         top_child[0, 8:16] = 0x76543210  # identity order words
         top_tref = np.zeros((1, 8), np.int32)
         top_tref[0, 0] = 0  # wide root node id
+        top_tord = np.zeros((1, 8), np.int32)
         return dataclasses.replace(
             pack, top_f32=jnp.asarray(top_f32),
             top_child=jnp.asarray(top_child),
             top_tref=jnp.asarray(top_tref),
+            top_tord=jnp.asarray(top_tord),
             num_top=1, num_treelets=1, treelet_max=int(max_tris))
 
     is_top = size > max_tris
@@ -101,6 +103,9 @@ def attach_treelets(pack: PacketBVH, max_tris: int = 1024) -> PacketBVH:
     top_child = np.full((ntop, 16), -1, np.int32)
     top_child[:, 8:16] = child[top_ids, 8:16]  # octant order words (same boxes)
     top_tref = np.zeros((ntop, 8), np.int32)
+    # ordinal per treelet (dense small ints for coherence-sort keys): BFS
+    # emission order, which follows the wide tree's spatial layout
+    top_tord = np.zeros((ntop, 8), np.int32)
 
     n_treelets = 0
     for r, i in enumerate(top_ids):
@@ -113,10 +118,12 @@ def attach_treelets(pack: PacketBVH, max_tris: int = 1024) -> PacketBVH:
             else:
                 # treelet ref: phase-2 root code = the wide-table code
                 top_tref[r, s] = c
+                top_tord[r, s] = n_treelets
                 n_treelets += 1
 
     return dataclasses.replace(
         pack, top_f32=jnp.asarray(top_f32),
         top_child=jnp.asarray(top_child), top_tref=jnp.asarray(top_tref),
+        top_tord=jnp.asarray(top_tord),
         num_top=int(ntop), num_treelets=int(n_treelets),
         treelet_max=int(max_tris))

@@ -78,10 +78,11 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
         any_knobs = dict(group=cfg.trav_group, node_pops=cfg.trav_node_pops,
                          cluster_pops=cfg.trav_cluster_pops)
         return Raycaster(
-            closest_hit=lambda o, d, t_max=None: treelet_closest_hit(
+            closest_hit=lambda o, d, t_max=None, seed=None:
+            treelet_closest_hit(
                 pack, o, d,
                 jnp.full((o.shape[0],), _FMAX) if t_max is None else t_max,
-                **knobs),
+                seed=seed, **knobs),
             any_hit=lambda o, d, t_max: pallas_any_hit(
                 scene.mesh, pack, o, d, t_max, **any_knobs),
             name="bvh_treelet",

@@ -56,12 +56,18 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
         # ---- miss: environment ------------------------------------------------
         if scene.env.enabled:
             env_l = envmod.env_radiance(scene.env, direction)
-            pdf_env = envmod.env_pdf(scene.env, direction)
-            w_mis = jnp.where(
-                first | (last_pdf > DELTA_THRESHOLD),
-                1.0,
-                power_heuristic(last_pdf, pdf_env),
-            )
+            # MIS down-weighting of BSDF-sampled env hits is only unbiased
+            # when the complementary env-NEE estimator actually runs
+            # (radiometry bug found by the analytic battery, round 3)
+            if cfg.env_nee:
+                pdf_env = envmod.env_pdf(scene.env, direction)
+                w_mis = jnp.where(
+                    first | (last_pdf > DELTA_THRESHOLD),
+                    1.0,
+                    power_heuristic(last_pdf, pdf_env),
+                )
+            else:
+                w_mis = 1.0
             miss_mask = alive & ~hit.hit_mask
             radiance = radiance + vwhere(
                 miss_mask, throughput * env_l * w_mis, Vec3.zeros((n,)))
@@ -93,7 +99,10 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
         if has_lights:
             state, lp, ln, pdf_area, ltri, le = sample_light(
                 scene.mesh, scene.lights, state)
-            to_l = lp - point
+            # offset-origin geometry: see wavefront.py — measuring the
+            # segment from `point` makes the light occlude its own NEE ray
+            shadow_ori = point + ng * EPSILON
+            to_l = lp - shadow_ori
             dist = to_l.length()
             wi_l = to_l * (1.0 / jnp.maximum(dist, 1e-20))
             dist_sq = jnp.maximum(1e-6, dist * dist)
@@ -118,7 +127,6 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
                 & (cos_surf > 0.0) & (cos_l > 0.0)
                 & (contrib.length_sq() > 0.0)
             )
-            shadow_ori = point + ng * EPSILON
             occluded = raycaster.any_hit(shadow_ori, wi_l, dist)
             radiance = radiance + vwhere(
                 nee_mask & ~occluded, contrib, Vec3.zeros((n,)))

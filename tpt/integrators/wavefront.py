@@ -169,7 +169,47 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
         first = (depth == 0) if first_static is None else jnp.bool_(
             first_static)
 
-        if do_sort and first_static is not True:
+        seed = None
+        treelet_seeding = (cfg.backend == RayCastBackend.BVH_TREELET
+                           and do_sort and first_static is False)
+        if treelet_seeding:
+            # phase-1 scan + treelet-major re-binning: sort the pool by
+            # each ray's nearest-treelet ordinal (then direction cone /
+            # origin morton within a treelet), so the self-rebinning
+            # kernel's packets agree on their first drains. Measured:
+            # without the global re-bin a 2048-lane bounce packet demands
+            # nearly every treelet and rounds degenerate to whole-tree
+            # work (BENCHMARKS §4c). Split mode only (fused fori frames
+            # fall back to the unseeded kernel).
+            from ..bvh.pallas_treelet import NONE_CODE, treelet_scan
+            from . import raysort
+
+            pre_tmax = jnp.where(alive, 3.4e38, -1.0)
+            st, sc, so, ovf = treelet_scan(
+                scene.pack, ori, direction, pre_tmax,
+                node_pops=cfg.trav_node_pops, group=cfg.trav_group)
+            world_lo, world_inv = raysort.world_bounds(scene.mesh)
+            dir_key = raysort.coherence_key(ori, direction, world_lo,
+                                            world_inv, mode=cfg.sort_key)
+            key1 = jnp.where(alive & (sc != NONE_CODE), so,
+                             jnp.where(alive, jnp.int32((1 << 30) - 1),
+                                       jnp.int32(1 << 30)))
+            (_, _, ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
+             drx, dry, drz, inx, iny, inz, pidx, st, sc, ovf) = jax.lax.sort(
+                (key1, dir_key, ori.x, ori.y, ori.z,
+                 direction.x, direction.y, direction.z,
+                 throughput.x, throughput.y, throughput.z,
+                 last_pdf, state, alive.astype(jnp.int32),
+                 direct.x, direct.y, direct.z,
+                 indirect.x, indirect.y, indirect.z, pixel_idx,
+                 st, sc, ovf), num_keys=2)
+            ori, direction = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+            throughput, last_pdf, state = Vec3(tx, ty, tz), lp, stt
+            alive = al != 0
+            direct, indirect = Vec3(drx, dry, drz), Vec3(inx, iny, inz)
+            pixel_idx = pidx
+            seed = (st, sc, ovf)
+        elif do_sort and first_static is not True:
             (ori, direction, throughput, last_pdf, state, alive, direct,
              indirect, pixel_idx) = _sort_pool(
                 scene, cfg, (ori, direction, throughput, last_pdf, state,
@@ -201,6 +241,9 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                 tri=jnp.where(hit1.hit_mask, hit1.tri, hit2.tri),
                 u=jnp.where(hit1.hit_mask, hit1.u, hit2.u),
                 v=jnp.where(hit1.hit_mask, hit1.v, hit2.v))
+        elif seed is not None:
+            ext_tmax = jnp.where(alive, 3.4e38, -1.0)
+            hit = raycaster.closest_hit(ori, direction, ext_tmax, seed=seed)
         else:
             ext_tmax = jnp.where(alive, 3.4e38, -1.0)
             hit = raycaster.closest_hit(ori, direction, ext_tmax)
@@ -216,10 +259,16 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
         miss = alive & ~hit.hit_mask
         if scene.env.enabled:
             env_l = envmod.env_radiance(scene.env, direction)
-            pdf_env = envmod.env_pdf(scene.env, direction)
-            w_mis = jnp.where(
-                first | (last_pdf > DELTA_THRESHOLD), 1.0,
-                power_heuristic(last_pdf, pdf_env))
+            # MIS down-weighting of BSDF-sampled env hits is only unbiased
+            # when the complementary env-NEE estimator actually runs
+            # (radiometry bug found by the analytic battery, round 3)
+            if cfg.env_nee:
+                pdf_env = envmod.env_pdf(scene.env, direction)
+                w_mis = jnp.where(
+                    first | (last_pdf > DELTA_THRESHOLD), 1.0,
+                    power_heuristic(last_pdf, pdf_env))
+            else:
+                w_mis = 1.0
             indirect = indirect + vwhere(miss, throughput * env_l * w_mis,
                                          Vec3.zeros((n,)))
 
@@ -263,7 +312,14 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
         if has_lights:
             state, lp, ln, pdf_area, ltri, le = sample_light(
                 scene.mesh, scene.lights, state)
-            to_l = lp - point
+            # geometry measured from the OFFSET shadow origin: measuring
+            # from `point` shortens the segment by EPSILON/cos, which
+            # exceeds the any-hit kernels' fixed EPSILON endpoint margin —
+            # the light then occludes its own shadow ray and the direct
+            # channel silently dies (round-3 bug, caught by the analytic
+            # contour-integral test in test_radiometry.py)
+            shadow_ori = point + ng * EPSILON
+            to_l = lp - shadow_ori
             dist = to_l.length()
             wi_l = to_l * (1.0 / jnp.maximum(dist, 1e-20))
             dist_sq = jnp.maximum(1e-6, dist * dist)
@@ -287,7 +343,6 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             # ---- TraceShadowRay stage --------------------------------------
             # shadow lanes inherit the extension sort's coherence: origins
             # are the (cell-sorted) hit points, so no second sort is needed
-            shadow_ori = point + ng * EPSILON
             shadow_t = jnp.where(nee_mask, dist, -1.0)  # dead shadow lanes
             occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
             rays = rays + jnp.sum(nee_mask.astype(jnp.int32))

@@ -138,6 +138,76 @@ def cornell_box(resolution=(800, 800), spheres=True,
     return s
 
 
+def veach_mis(resolution=(512, 384)) -> HostScene:
+    """The classic Veach MIS demonstration scene (reference README §3.4 +
+    img/mis.png — the asset itself is a git-lfs pointer, so this is a
+    reconstruction of the canonical composition): four metallic plates of
+    increasing roughness, lit by a row of spherical emitters whose radii
+    span ~30x at equal power (radiance ~ 1/r^2). BSDF sampling alone fails
+    on the small bright sphere; light sampling alone fails on the large
+    dim sphere reflected in the smooth plate; the power-heuristic MIS
+    combination resolves all plate/light pairs."""
+    s = HostScene()
+    gray = s.add_material(HostMaterial("backdrop", (0.35, 0.35, 0.35)))
+    plate_rough = (0.012, 0.04, 0.1, 0.25)
+    plate_mats = [
+        s.add_material(HostMaterial(
+            f"plate{i}", (0.85, 0.82, 0.78),
+            mtype=MaterialType.MICROFACET_PBR, metallic=1.0, roughness=r))
+        for i, r in enumerate(plate_rough)]
+    radii = (0.035, 0.11, 0.33, 0.9)
+    # equal power: L = P / (4 pi^2 r^2); pick P so the big sphere reads ~1.2
+    light_mats = [
+        s.add_material(HostMaterial(
+            f"light{i}", (1.0, 0.95, 0.85), emittance=1.2 * (0.9 / r) ** 2))
+        for i, r in enumerate(radii)]
+
+    parts = [
+        make_quad((-14, 0, 14), (14, 0, 14), (14, 0, -6), (-14, 0, -6),
+                  gray),                                          # floor
+        make_quad((-14, 0, -6), (14, 0, -6), (14, 16, -6), (-14, 16, -6),
+                  gray),                                          # back wall
+    ]
+    # sphere lights in a row high on the back wall
+    light_y, light_z = 7.2, -3.4
+    light_x = (-5.0, -1.7, 1.7, 5.0)
+    for x, r, m in zip(light_x, radii, light_mats):
+        parts.append(make_uv_sphere((x, light_y, light_z), r, m,
+                                    n_theta=10, n_phi=20))
+    # plates: long thin quads tilted so each reflects the light row toward
+    # the camera (normal = half vector between to-lights and to-camera)
+    cam_pos = np.array([0.0, 5.0, 14.0])
+    l_cen = np.array([0.0, light_y, light_z])
+    plate_y = (3.7, 2.8, 2.0, 1.3)
+    plate_z = (-2.4, -0.9, 0.6, 2.1)
+    half_w, half_d = 6.0, 0.7
+    for (y, z, m) in zip(plate_y, plate_z, plate_mats):
+        c = np.array([0.0, y, z])
+        wl = (l_cen - c) / np.linalg.norm(l_cen - c)
+        wc = (cam_pos - c) / np.linalg.norm(cam_pos - c)
+        nrm = (wl + wc) / np.linalg.norm(wl + wc)
+        # plate axes: u along x, v = n x u (depth direction)
+        u = np.array([1.0, 0.0, 0.0])
+        v = np.cross(nrm, u)
+        v /= np.linalg.norm(v)
+        p = [c - u * half_w - v * half_d, c + u * half_w - v * half_d,
+             c + u * half_w + v * half_d, c - u * half_w + v * half_d]
+        parts.append(make_quad(*[tuple(q) for q in p], material_id=m))
+
+    s.mesh = merge_meshes(parts)
+    s.camera = Camera.build(
+        resolution=resolution,
+        position=tuple(cam_pos),
+        look_at=(0.0, 3.4, 0.0),
+        up=(0.0, 1.0, 0.0),
+        fovy_deg=42.0,
+    )
+    s.iterations = 64
+    s.trace_depth = 4
+    s.image_name = "veach_mis"
+    return s
+
+
 def make_displaced_wall(p0, pu, pv, material_id: int, nu: int, nv: int,
                         amplitude: float, seed: int = 0) -> HostMesh:
     """A (nu x nv)-subdivided quad with smooth pseudo-random displacement
