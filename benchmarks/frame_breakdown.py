@@ -19,6 +19,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpt.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from tpt.config import RayCastBackend, RenderConfig
     from tpt.integrators import wavefront
     from tpt.integrators.common import make_raycaster
@@ -28,11 +32,14 @@ def main():
     res = tuple(int(v) for v in
                 os.environ.get("BD_RES", "1920x1080").split("x"))
     depth = int(os.environ.get("BD_DEPTH", "8"))
+    backend = {"pallas": RayCastBackend.BVH_PALLAS,
+               "treelet": RayCastBackend.BVH_TREELET}[
+                   os.environ.get("BD_BACKEND", "pallas")]
 
     t0 = time.time()
     host = procedural.fireplace_like(num_triangles=tris, resolution=res)
     scene = host.build(with_bvh=True)
-    cfg = RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=depth)
+    cfg = RenderConfig(backend=backend, trace_depth=depth)
     raycaster = make_raycaster(scene, cfg)
     cam = host.camera
     vp = wavefront.camera_view_proj(cam)

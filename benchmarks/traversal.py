@@ -19,6 +19,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpt.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from tpt.core.vec import Vec3
     from tpt.core.camera import generate_camera_rays
     from tpt.bvh.pack import build_packet_bvh, build_packet_bvh_wide

@@ -97,6 +97,30 @@ class TestTreeletTraversal:
         assert np.array_equal(np.asarray(hit.tri), np.asarray(ref.tri))
         assert (np.asarray(hit.tri)[::3] == -1).all()
 
+    def test_seeded_pipeline_matches_brute_force(self, cluttered):
+        """The production path: phase-1 scan -> ordinal sort -> seeded
+        kernel. Seeds must change packet scheduling only, never hits."""
+        import jax
+        from tpt.bvh.pallas_treelet import NONE_CODE, treelet_scan
+
+        mesh, pack = cluttered
+        p = attach_treelets(pack, max_tris=64)
+        o, d = rays(1024, -6, 6, seed=21)
+        tmax = jnp.full((1024,), FLT_MAX).at[::5].set(-1.0)
+        st, sc, so, ovf = treelet_scan(p, o, d, tmax)
+        # every brute-force hit must have a phase-1 candidate
+        ref = brute_force_closest_hit(mesh, o, d, tmax)
+        has_seed = np.asarray(sc) != NONE_CODE
+        assert (has_seed | (np.asarray(ref.tri) < 0)).all()
+        key = jnp.where(sc != NONE_CODE, so, jnp.int32(1 << 30))
+        (_, ox, oy, oz, dx, dy, dz, tm2, st2, sc2, ovf2) = jax.lax.sort(
+            (key, o.x, o.y, o.z, d.x, d.y, d.z, tmax, st, sc, ovf),
+            num_keys=1)
+        o2, d2 = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+        hit = treelet_closest_hit(p, o2, d2, tm2, seed=(st2, sc2, ovf2))
+        ref2 = brute_force_closest_hit(mesh, o2, d2, tm2)
+        assert np.array_equal(np.asarray(hit.tri), np.asarray(ref2.tri))
+
     def test_fully_dead_pool_exits(self, cluttered):
         mesh, pack = cluttered
         p = attach_treelets(pack, max_tris=64)

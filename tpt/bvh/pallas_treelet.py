@@ -144,23 +144,33 @@ def _make_kernel_treelet(num_nodes: int, num_top: int, k_cluster: int,
                     trow = tref_ref[pl.ds(nid, 1), :]
                     ordw = _select_order_word(crow, oct_idx)
                     valid_pop = code >= 0
-                    # per-lane prune limit: nothing beyond the current
-                    # worst kept slot or the best hit can matter
-                    limit = jnp.where(scan_mask, jnp.minimum(bt, s_t[S - 1]),
-                                      -1.0)
+                    # slab at the FULL per-lane bt limit; the slot-window
+                    # prune (tn <= worst kept slot) is applied separately so
+                    # anything it excludes can set the overflow flag — a
+                    # silently-pruned candidate beyond the window would
+                    # otherwise mark the lane exhausted and lose real hits
+                    # (found by the Cornell bounce-ray cross-backend test)
+                    limit = jnp.where(scan_mask, bt, -1.0)
                     codes, anyh = [], []
                     for s in range(A):
                         hit_s, tn_s = _slab(row, 6 * s, ox, oy, oz,
                                             ix, iy, iz, limit)
+                        kept_s = tn_s <= s_t[S - 1]
                         child_id = crow[0, s]
                         is_internal = child_id >= 0
                         # treelet-ref slot: insert (tn, tref code) into the
                         # lane's ascending slot list (compare-swap cascade)
                         tcode = trow[0, s]
-                        valid = (hit_s & (tn_s < bt) & scan_mask
-                                 & jnp.logical_not(is_internal) & valid_pop
-                                 & ((tn_s > thr_t)
-                                    | ((tn_s == thr_t) & (tcode > thr_c))))
+                        cand = (hit_s & (tn_s < bt) & scan_mask
+                                & jnp.logical_not(is_internal) & valid_pop
+                                & ((tn_s > thr_t)
+                                   | ((tn_s == thr_t) & (tcode > thr_c))))
+                        valid = cand & kept_s
+                        ovf = ovf | (cand & ~kept_s).astype(jnp.int32)
+                        # subtree pruned by the slot window: conservative
+                        # overflow (it may hide candidates for this lane)
+                        ovf = ovf | (hit_s & ~kept_s & scan_mask & valid_pop
+                                     & is_internal).astype(jnp.int32)
                         cur_t = jnp.where(valid, tn_s, _INF)
                         cur_c = jnp.where(valid, tcode, NONE_CODE)
                         for i in range(S):
@@ -171,7 +181,7 @@ def _make_kernel_treelet(num_nodes: int, num_top: int, k_cluster: int,
                                              jnp.where(swap, s_c[i], cur_c))
                         ovf = ovf | (cur_c != NONE_CODE).astype(jnp.int32)
                         codes.append(child_id)
-                        anyh.append(hit_s & is_internal & valid_pop)
+                        anyh.append(hit_s & kept_s & is_internal & valid_pop)
                     any_scalar = _children_any_hit(anyh)
                     # push internal children far-to-near per octant order
                     for pos in range(A - 1, -1, -1):
@@ -445,16 +455,24 @@ def _make_kernel_scan(num_top: int, arity: int, node_pops: int, rows: int):
                 orow = tord_ref[pl.ds(nid, 1), :]
                 ordw = _select_order_word(crow, oct_idx)
                 valid_pop = code >= 0
-                limit = jnp.minimum(bt, s_t)
+                # slab at the full bt limit; the nearest-only prune
+                # (tn <= current best candidate) is applied separately so
+                # every pruned candidate/subtree raises the overflow flag
+                # (same silent-prune soundness fix as the main kernel)
                 codes, anyh = [], []
                 for s in range(A):
                     hit_s, tn_s = _slab(row, 6 * s, ox, oy, oz,
-                                        ix, iy, iz, limit)
+                                        ix, iy, iz, bt)
+                    kept_s = tn_s <= s_t
                     child_id = crow[0, s]
                     is_internal = child_id >= 0
                     tcode = trow[0, s]
-                    valid = (hit_s & (tn_s < bt) & valid_pop
-                             & jnp.logical_not(is_internal))
+                    cand = (hit_s & (tn_s < bt) & valid_pop
+                            & jnp.logical_not(is_internal))
+                    valid = cand & kept_s
+                    ovf = ovf | (cand & ~kept_s).astype(jnp.int32)
+                    ovf = ovf | (hit_s & ~kept_s & valid_pop
+                                 & is_internal).astype(jnp.int32)
                     cur_t = jnp.where(valid, tn_s, _INF)
                     cur_c = jnp.where(valid, tcode, NONE_CODE)
                     cur_o = jnp.where(valid, orow[0, s], 0)
@@ -466,7 +484,7 @@ def _make_kernel_scan(num_top: int, arity: int, node_pops: int, rows: int):
                     s_o = jnp.where(swap, cur_o, s_o)
                     ovf = ovf | (cur_c2 != NONE_CODE).astype(jnp.int32)
                     codes.append(child_id)
-                    anyh.append(hit_s & is_internal & valid_pop)
+                    anyh.append(hit_s & kept_s & is_internal & valid_pop)
                 any_scalar = _children_any_hit(anyh)
                 for pos in range(A - 1, -1, -1):
                     slot = (ordw >> (4 * pos)) & 15
