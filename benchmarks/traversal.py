@@ -136,9 +136,11 @@ def main():
         np.asarray(hit.t)
         return nn * reps / (time.time() - t0) / 1e6
 
-    def bench_seeded(pack, o, d, knobs, reps=3):
+    def bench_seeded(pack, o, d, knobs, reps=3, hard_count=0):
         """Seeded treelet pipeline, staged: phase-1 scan -> ordinal sort ->
-        seeded cast. Reports per-stage ms + end-to-end Mrays/s."""
+        seeded cast. Reports per-stage ms + end-to-end Mrays/s.
+        hard_count > 0 = hybrid: rays with >= that many phase-1 candidates
+        form a dense tail group traced by the wide kernel."""
         from tpt.bvh.pallas_treelet import treelet_scan, treelet_closest_hit
 
         grp, np_, cp, sl = knobs
@@ -148,19 +150,34 @@ def main():
             return treelet_scan(pack, o, d, tmax, node_pops=np_, group=grp)
 
         @jax.jit
-        def sort_stage(o, d, st, sc, so, ovf):
-            key = jnp.where(sc != 0x7FFFFFFF, so, jnp.int32(1 << 30))
+        def sort_stage(o, d, st, sc, so, ovf, cnt):
+            hard = ((cnt >= hard_count) if hard_count
+                    else jnp.zeros_like(cnt, bool))
+            key = jnp.where(hard, jnp.int32(1 << 29),
+                            jnp.where(sc != 0x7FFFFFFF, so,
+                                      jnp.int32(1 << 30)))
             dkey = raysort.coherence_key(o, d, world_lo, world_inv,
                                          mode="dir_major")
-            (_, _, ox, oy, oz, dx, dy, dz, st2, sc2, ovf2) = jax.lax.sort(
-                (key, dkey, o.x, o.y, o.z, d.x, d.y, d.z, st, sc, ovf),
-                num_keys=2)
-            return Vec3(ox, oy, oz), Vec3(dx, dy, dz), st2, sc2, ovf2
+            (_, _, ox, oy, oz, dx, dy, dz, st2, sc2, ovf2,
+             hrd) = jax.lax.sort(
+                (key, dkey, o.x, o.y, o.z, d.x, d.y, d.z, st, sc, ovf,
+                 hard.astype(jnp.int32)), num_keys=2)
+            return (Vec3(ox, oy, oz), Vec3(dx, dy, dz), st2, sc2, ovf2,
+                    hrd != 0)
 
-        def cast(o, d, st, sc, ovf):
-            return treelet_closest_hit(pack, o, d, tmax, node_pops=np_,
-                                       group=grp, cluster_pops=cp, slots=sl,
-                                       seed=(st, sc, ovf))
+        def cast(o, d, st, sc, ovf, hard):
+            if not hard_count:
+                return treelet_closest_hit(
+                    pack, o, d, tmax, node_pops=np_, group=grp,
+                    cluster_pops=cp, slots=sl, seed=(st, sc, ovf))
+            hit_e = treelet_closest_hit(
+                pack, o, d, jnp.where(hard, -1.0, tmax), node_pops=np_,
+                group=grp, cluster_pops=cp, slots=sl, seed=(st, sc, ovf))
+            hit_h = packet_closest_hit_wide(
+                pack, o, d, jnp.where(hard, tmax, -1.0), node_pops=np_,
+                group=grp, cluster_pops=cp)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(hard, a, b), hit_h, hit_e)
 
         stages = {}
         seeds = scan(o, d)
@@ -171,24 +188,28 @@ def main():
         np.asarray(seeds[0])
         stages["scan"] = (time.time() - t0) / reps * 1e3
 
-        st, sc, so, ovf = seeds
-        sorted_ = sort_stage(o, d, st, sc, so, ovf)
+        st, sc, so, ovf, cnt = seeds
+        if hard_count:
+            stages["hard_frac"] = round(
+                float(np.asarray(cnt >= hard_count).mean()), 3)
+        sorted_ = sort_stage(o, d, st, sc, so, ovf, cnt)
         np.asarray(sorted_[0].x)
         t0 = time.time()
         for _ in range(reps):
-            sorted_ = sort_stage(o, d, st, sc, so, ovf)
+            sorted_ = sort_stage(o, d, st, sc, so, ovf, cnt)
         np.asarray(sorted_[0].x)
         stages["sort"] = (time.time() - t0) / reps * 1e3
 
-        o2, d2, st2, sc2, ovf2 = sorted_
-        hit = cast(o2, d2, st2, sc2, ovf2)
+        o2, d2, st2, sc2, ovf2, hrd2 = sorted_
+        cast_j = jax.jit(cast)
+        hit = cast_j(o2, d2, st2, sc2, ovf2, hrd2)
         np.asarray(hit.t)
         t0 = time.time()
         for _ in range(reps):
-            hit = cast(o2, d2, st2, sc2, ovf2)
+            hit = cast_j(o2, d2, st2, sc2, ovf2, hrd2)
         np.asarray(hit.t)
         stages["cast"] = (time.time() - t0) / reps * 1e3
-        total = sum(stages.values())
+        total = stages["scan"] + stages["sort"] + stages["cast"]
         return nn / total / 1e3, stages
 
     for cfg in cfgs:
@@ -199,15 +220,19 @@ def main():
             from tpt.bvh.pallas_traverse import packet_any_hit
 
             fn_any = lambda o, d, t: packet_any_hit(pack, o, d, t)
-        elif parts[0] == "ts":
+        elif parts[0] in ("ts", "th"):
             # seeded treelet pipeline: ts:MAX_TRIS[:SLOTS[:GROUP[:NP[:CP]]]]
+            # hybrid easy/hard:       th:MAX_TRIS:HARD_COUNT[:SLOTS[...]]
             from tpt.bvh.treelet import attach_treelets
 
+            hybrid = parts[0] == "th"
             mt = int(parts[1])
-            sl = int(parts[2]) if len(parts) > 2 else 4
-            grp = int(parts[3]) if len(parts) > 3 else 2
-            np_ = int(parts[4]) if len(parts) > 4 else 4
-            cp = int(parts[5]) if len(parts) > 5 else 4
+            off = 1 if hybrid else 0
+            hc = int(parts[2]) if hybrid else 0
+            sl = int(parts[2 + off]) if len(parts) > 2 + off else 4
+            grp = int(parts[3 + off]) if len(parts) > 3 + off else 2
+            np_ = int(parts[4 + off]) if len(parts) > 4 + off else 4
+            cp = int(parts[5 + off]) if len(parts) > 5 + off else 4
             pack = attach_treelets(
                 build_packet_bvh_wide(mesh, bvh, max_cluster=16, arity=4),
                 max_tris=mt)
@@ -215,7 +240,8 @@ def main():
                   f"{pack.num_treelets} treelets", file=sys.stderr)
             for pop_name, (o, d) in pops.items():
                 t0 = time.time()
-                mrays, stages = bench_seeded(pack, o, d, (grp, np_, cp, sl))
+                mrays, stages = bench_seeded(pack, o, d, (grp, np_, cp, sl),
+                                             hard_count=hc)
                 print(json.dumps({
                     "metric": f"seeded_pipeline {cfg} {pop_name}",
                     "value": round(mrays, 3), "unit": "Mrays/s",

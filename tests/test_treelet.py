@@ -107,7 +107,8 @@ class TestTreeletTraversal:
         p = attach_treelets(pack, max_tris=64)
         o, d = rays(1024, -6, 6, seed=21)
         tmax = jnp.full((1024,), FLT_MAX).at[::5].set(-1.0)
-        st, sc, so, ovf = treelet_scan(p, o, d, tmax)
+        st, sc, so, ovf, cnt = treelet_scan(p, o, d, tmax)
+        assert (np.asarray(cnt)[np.asarray(sc) != NONE_CODE] >= 1).all()
         # every brute-force hit must have a phase-1 candidate
         ref = brute_force_closest_hit(mesh, o, d, tmax)
         has_seed = np.asarray(sc) != NONE_CODE
@@ -130,6 +131,23 @@ class TestTreeletTraversal:
 
 
 class TestEndToEnd:
+    def test_hybrid_render_matches_xla_backend(self):
+        """Hybrid partition (easy rays -> treelet kernel, grazing rays ->
+        wide kernel) through the full integrator, vs the XLA oracle."""
+        import tpt
+        from tpt.integrators import wavefront
+
+        host = procedural.cornell_box(resolution=(24, 24), spheres=True)
+        scene = host.build(with_bvh=True, treelet_max_tris=256)
+        cfg_t = tpt.RenderConfig(backend=tpt.RayCastBackend.BVH_TREELET,
+                                 trace_depth=3, treelet_hybrid=True,
+                                 treelet_hard_count=2)
+        cfg_x = cfg_t.with_(backend=tpt.RayCastBackend.BVH_XLA)
+        img_t = wavefront.render(scene, host.camera, cfg_t, iterations=2)
+        img_x = wavefront.render(scene, host.camera, cfg_x, iterations=2)
+        diff = np.abs(img_t - img_x)
+        assert (diff > 5e-3).mean() < 0.01, diff.max()
+
     def test_render_matches_xla_backend(self):
         """Tiny Cornell render through the full wavefront integrator: the
         treelet backend must reproduce the reference-backend image (both
@@ -141,7 +159,8 @@ class TestEndToEnd:
         host = procedural.cornell_box(resolution=(24, 24), spheres=True)
         scene = host.build(with_bvh=True, treelet_max_tris=256)
         cfg_t = tpt.RenderConfig(backend=tpt.RayCastBackend.BVH_TREELET,
-                                 trace_depth=3, iterations=2)
+                                 trace_depth=3, iterations=2,
+                                 treelet_hybrid=False)
         cfg_x = cfg_t.with_(backend=tpt.RayCastBackend.BVH_XLA)
         img_t = wavefront.render(scene, host.camera, cfg_t)
         img_x = wavefront.render(scene, host.camera, cfg_x)

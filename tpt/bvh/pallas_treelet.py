@@ -418,7 +418,7 @@ def _make_kernel_scan(num_top: int, arity: int, node_pops: int, rows: int):
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                top_ref, topc_ref, tref_ref, tord_ref,
-               st_out, sc_out, so_out, ovf_out, nstack):
+               st_out, sc_out, so_out, ovf_out, cnt_out, nstack):
         ox = ox_ref[0]
         oy = oy_ref[0]
         oz = oz_ref[0]
@@ -442,7 +442,7 @@ def _make_kernel_scan(num_top: int, arity: int, node_pops: int, rows: int):
             return (sp > 0) & (step < 8 * num_top + 1024)
 
         def body(st):
-            step, sp, s_t, s_c, s_o, ovf = st
+            step, sp, s_t, s_c, s_o, ovf, cnt = st
             for _ in range(node_pops):
                 has = sp > 0
                 code = jnp.where(has, nstack[jnp.maximum(sp - 1, 0)],
@@ -470,6 +470,7 @@ def _make_kernel_scan(num_top: int, arity: int, node_pops: int, rows: int):
                     cand = (hit_s & (tn_s < bt) & valid_pop
                             & jnp.logical_not(is_internal))
                     valid = cand & kept_s
+                    cnt = cnt + cand.astype(jnp.int32)
                     ovf = ovf | (cand & ~kept_s).astype(jnp.int32)
                     ovf = ovf | (hit_s & ~kept_s & valid_pop
                                  & is_internal).astype(jnp.int32)
@@ -502,16 +503,17 @@ def _make_kernel_scan(num_top: int, arity: int, node_pops: int, rows: int):
                         nstack[sp] = csel
 
                     sp = sp + do_push.astype(jnp.int32)
-            return (step + 1, sp, s_t, s_c, s_o, ovf)
+            return (step + 1, sp, s_t, s_c, s_o, ovf, cnt)
 
         fin = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), (jnp.max(bt) > 0.0).astype(jnp.int32),
-             inf, none, zero_i, zero_i))
+             inf, none, zero_i, zero_i, zero_i))
         st_out[0, :, :] = fin[2]
         sc_out[0, :, :] = fin[3]
         so_out[0, :, :] = fin[4]
         ovf_out[0, :, :] = fin[5]
+        cnt_out[0, :, :] = fin[6]
 
     return kernel
 
@@ -520,8 +522,10 @@ def _make_kernel_scan(num_top: int, arity: int, node_pops: int, rows: int):
 def treelet_scan(pack: PacketBVH, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
                  node_pops: int = 4, group: int = 2):
     """Per-ray nearest-treelet candidate: (entry_t, code, ordinal,
-    overflow) flat arrays. Dead lanes (t_max <= 0) emit NONE_CODE with
-    overflow 0 (-> exhausted)."""
+    overflow, count) flat arrays. `count` is a lower bound on the ray's
+    candidate treelets (subtrees pruned by the nearest-only window are
+    not descended) — the hybrid easy/hard classifier. Dead lanes
+    (t_max <= 0) emit NONE_CODE with overflow 0 (-> exhausted)."""
     assert pack.top_f32 is not None
     rows = SUBLANES * group
     ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
@@ -535,12 +539,13 @@ def treelet_scan(pack: PacketBVH, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32),
     ]
-    st, sc, so, ovf = pl.pallas_call(
+    st, sc, so, ovf, cnt = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=[ray_spec] * 7 + [tab_spec] * 4,
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * 5,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((258,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
@@ -551,7 +556,7 @@ def treelet_scan(pack: PacketBVH, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
     )(ox, oy, oz, dx, dy, dz, tm, pack.top_f32, pack.top_child,
       pack.top_tref, pack.top_tord)
     flat = lambda a: a.reshape(-1)[:n]
-    return flat(st), flat(sc), flat(so), flat(ovf)
+    return flat(st), flat(sc), flat(so), flat(ovf), flat(cnt)
 
 
 # default knobs (shared heritage with the wide kernel; swept on v5e)

@@ -110,6 +110,14 @@ class RenderConfig:
     # brute-force agreement tests guard it)
     treelet_slots: int = 4
     treelet_max_rounds: int = 4096
+    # hybrid cast: rays whose phase-1 candidate count reaches
+    # treelet_hard_count (grazing/multi-treelet rays) are partitioned to
+    # the tail by the sort and traced by the wide whole-tree kernel in
+    # their own dense packets (whole-tree union cost is per-packet, so
+    # shrinking the hard pool shrinks it linearly); easy rays resolve in
+    # 1-2 shared treelet drains
+    treelet_hybrid: bool = True
+    treelet_hard_count: int = 3
     # two-pass extension cast: first cast with t_max = frac * world
     # diagonal (a bounded per-lane limit collapses the packet's node-visit
     # union — far subtrees fail the slab test for every lane), then

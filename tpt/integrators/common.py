@@ -60,7 +60,10 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
             name="bvh_pallas",
         )
     if cfg.backend == RayCastBackend.BVH_TREELET:
-        from ..bvh.pallas_traverse import pallas_any_hit
+        from ..bvh.pallas_traverse import (
+            packet_closest_hit_wide,
+            pallas_any_hit,
+        )
         from ..bvh.pallas_treelet import treelet_closest_hit
         from ..integrators.intersect import FLT_MAX as _FMAX
 
@@ -75,16 +78,33 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                      cluster_pops=cfg.trav_cluster_pops,
                      slots=cfg.treelet_slots,
                      max_rounds=cfg.treelet_max_rounds)
-        any_knobs = dict(group=cfg.trav_group, node_pops=cfg.trav_node_pops,
-                         cluster_pops=cfg.trav_cluster_pops)
+        wide_knobs = dict(group=cfg.trav_group, node_pops=cfg.trav_node_pops,
+                          cluster_pops=cfg.trav_cluster_pops)
+
+        def closest(o, d, t_max=None, seed=None, hard=None):
+            if t_max is None:
+                t_max = jnp.full((o.shape[0],), _FMAX)
+            if hard is None:
+                return treelet_closest_hit(pack, o, d, t_max, seed=seed,
+                                           **knobs)
+            # hybrid: the sorted pool has easy rays in the prefix (grouped
+            # by target treelet) and hard grazing rays in a dense suffix;
+            # each kernel sees the other region as dead lanes (t_max=-1)
+            # and skips its packets at the root test
+            hit_e = treelet_closest_hit(
+                pack, o, d, jnp.where(hard, -1.0, t_max), seed=seed, **knobs)
+            hit_h = packet_closest_hit_wide(
+                pack, o, d, jnp.where(hard, t_max, -1.0), **wide_knobs)
+            pick = lambda a, b: jnp.where(hard, a, b)
+            return HitRecord(t=pick(hit_h.t, hit_e.t),
+                             tri=pick(hit_h.tri, hit_e.tri),
+                             u=pick(hit_h.u, hit_e.u),
+                             v=pick(hit_h.v, hit_e.v))
+
         return Raycaster(
-            closest_hit=lambda o, d, t_max=None, seed=None:
-            treelet_closest_hit(
-                pack, o, d,
-                jnp.full((o.shape[0],), _FMAX) if t_max is None else t_max,
-                seed=seed, **knobs),
+            closest_hit=closest,
             any_hit=lambda o, d, t_max: pallas_any_hit(
-                scene.mesh, pack, o, d, t_max, **any_knobs),
+                scene.mesh, pack, o, d, t_max, **wide_knobs),
             name="bvh_treelet",
         )
     from ..bvh.traverse import bvh_closest_hit, bvh_any_hit

@@ -185,30 +185,39 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             from . import raysort
 
             pre_tmax = jnp.where(alive, 3.4e38, -1.0)
-            st, sc, so, ovf = treelet_scan(
+            st, sc, so, ovf, cnt = treelet_scan(
                 scene.pack, ori, direction, pre_tmax,
                 node_pops=cfg.trav_node_pops, group=cfg.trav_group)
             world_lo, world_inv = raysort.world_bounds(scene.mesh)
             dir_key = raysort.coherence_key(ori, direction, world_lo,
                                             world_inv, mode=cfg.sort_key)
-            key1 = jnp.where(alive & (sc != NONE_CODE), so,
-                             jnp.where(alive, jnp.int32((1 << 30) - 1),
-                                       jnp.int32(1 << 30)))
+            # hybrid partition: grazing multi-treelet rays form their own
+            # dense tail group and go to the wide whole-tree kernel
+            hard = (alive & (cnt >= cfg.treelet_hard_count)
+                    if cfg.treelet_hybrid
+                    else jnp.zeros_like(alive))
+            key1 = jnp.where(
+                alive & hard, jnp.int32(1 << 29),
+                jnp.where(alive & (sc != NONE_CODE), so,
+                          jnp.where(alive, jnp.int32((1 << 30) - 1),
+                                    jnp.int32(1 << 30))))
             (_, _, ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
-             drx, dry, drz, inx, iny, inz, pidx, st, sc, ovf) = jax.lax.sort(
+             drx, dry, drz, inx, iny, inz, pidx, st, sc, ovf,
+             hrd) = jax.lax.sort(
                 (key1, dir_key, ori.x, ori.y, ori.z,
                  direction.x, direction.y, direction.z,
                  throughput.x, throughput.y, throughput.z,
                  last_pdf, state, alive.astype(jnp.int32),
                  direct.x, direct.y, direct.z,
                  indirect.x, indirect.y, indirect.z, pixel_idx,
-                 st, sc, ovf), num_keys=2)
+                 st, sc, ovf, hard.astype(jnp.int32)), num_keys=2)
             ori, direction = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
             throughput, last_pdf, state = Vec3(tx, ty, tz), lp, stt
             alive = al != 0
             direct, indirect = Vec3(drx, dry, drz), Vec3(inx, iny, inz)
             pixel_idx = pidx
             seed = (st, sc, ovf)
+            hard_mask = (hrd != 0) if cfg.treelet_hybrid else None
         elif do_sort and first_static is not True:
             (ori, direction, throughput, last_pdf, state, alive, direct,
              indirect, pixel_idx) = _sort_pool(
@@ -243,7 +252,8 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                 v=jnp.where(hit1.hit_mask, hit1.v, hit2.v))
         elif seed is not None:
             ext_tmax = jnp.where(alive, 3.4e38, -1.0)
-            hit = raycaster.closest_hit(ori, direction, ext_tmax, seed=seed)
+            hit = raycaster.closest_hit(ori, direction, ext_tmax, seed=seed,
+                                        hard=hard_mask)
         else:
             ext_tmax = jnp.where(alive, 3.4e38, -1.0)
             hit = raycaster.closest_hit(ori, direction, ext_tmax)
