@@ -51,7 +51,8 @@ def main() -> int:
     print(f"[bench] scene ready: {host.mesh.num_triangles} tris, "
           f"backend={backend.name} ({time.time() - t0:.1f}s)", file=sys.stderr)
 
-    cfg = RenderConfig(backend=backend, trace_depth=depth)
+    spp = int(os.environ.get("BENCH_SPP", "1"))
+    cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
     acc_d = Vec3.zeros((n,))
@@ -65,13 +66,14 @@ def main() -> int:
 
     t0 = time.time()
     total_rays = 0
-    for it in range(2, 2 + frames):
+    for b in range(frames):
+        it = 1 + spp + b * spp  # frame consumes spp iteration numbers
         out, acc_d, acc_i = frame(jnp.uint32(it), vp, acc_d, acc_i)
         jax.block_until_ready(acc_d.x)
         total_rays += int(out.rays_traced)
     dt = time.time() - t0
 
-    mpaths = n * frames / dt / 1e6
+    mpaths = n * frames * spp / dt / 1e6
     print(f"[bench] {frames} frames in {dt:.2f}s  "
           f"({dt / frames * 1000:.0f} ms/frame, "
           f"{total_rays / dt / 1e6:.1f} MRays/s)", file=sys.stderr)

@@ -32,6 +32,7 @@ def main():
     res = tuple(int(v) for v in
                 os.environ.get("BD_RES", "1920x1080").split("x"))
     depth = int(os.environ.get("BD_DEPTH", "8"))
+    spp = int(os.environ.get("BD_SPP", "1"))
     backend = {"pallas": RayCastBackend.BVH_PALLAS,
                "treelet": RayCastBackend.BVH_TREELET}[
                    os.environ.get("BD_BACKEND", "pallas")]
@@ -39,14 +40,13 @@ def main():
     t0 = time.time()
     host = procedural.fireplace_like(num_triangles=tris, resolution=res)
     scene = host.build(with_bvh=True)
-    cfg = RenderConfig(backend=backend, trace_depth=depth)
+    cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp)
     raycaster = make_raycaster(scene, cfg)
     cam = host.camera
     vp = wavefront.camera_view_proj(cam)
     print(f"[bd] scene ready ({time.time()-t0:.0f}s)", file=sys.stderr)
 
-    start = jax.jit(lambda it: wavefront.init_carry(
-        cfg, *wavefront.generate_camera_rays(cam, it, cfg.jitter)))
+    start = jax.jit(lambda it: wavefront.batched_raygen(cam, cfg, it))
     bounce = wavefront._make_bounce_fn(scene, raycaster, cam, cfg, vp)
 
     sort_only = jax.jit(lambda c: wavefront._sort_pool(

@@ -134,6 +134,25 @@ class TestRaySorting:
         close = np.isclose(img_p, img_x, atol=5e-3).mean()
         assert close > 0.99, close
 
+    def test_spp_batch_matches_sequential(self):
+        """spp_batch=S traces S jittered samples of every pixel in ONE
+        pool (richer coherence sort at the same per-path sort cost); the
+        per-path RNG streams are identical to S separate 1-spp frames, so
+        the accumulated image must match up to float add order."""
+        scene = procedural.cornell_box(resolution=(32, 24), spheres=True)
+        data = scene.build(with_bvh=True)
+        base = RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=3)
+        seq = wavefront.render(data, scene.camera, base, iterations=2)
+        bat = wavefront.render(data, scene.camera, base.with_(spp_batch=2),
+                               iterations=2)
+        np.testing.assert_allclose(bat, seq, atol=2e-5)
+        # fused (non-split) mode: the unsorted pool reduces bitwise
+        cfgx = RenderConfig(backend=RayCastBackend.BVH_XLA, trace_depth=3)
+        seq_x = wavefront.render(data, scene.camera, cfgx, iterations=2)
+        bat_x = wavefront.render(data, scene.camera,
+                                 cfgx.with_(spp_batch=2), iterations=2)
+        np.testing.assert_array_equal(bat_x, seq_x)
+
     def test_adaptive_pool_matches_fixed(self, monkeypatch):
         """Pool shrinking (per-bounce alive-count readback + prefix-variant
         dispatch) must not change any pixel — the sliced-off tail is

@@ -84,6 +84,13 @@ class RenderConfig:
     russian_roulette: bool = False  # reference stub is empty (pathtrace.cu:437)
     rr_start_bounce: int = 3
     env_nee: bool = False  # direct env sampling via the live alias table
+    # samples per pixel traced per wavefront dispatch: the path pool holds
+    # spp_batch jittered samples of every pixel, so the per-bounce
+    # coherence sort sees an spp_batch-x richer pool and packets bin
+    # tighter (smaller node-visit unions) at the SAME per-path sort cost.
+    # The frame fn consumes spp_batch iteration numbers per call and
+    # returns per-pixel SUMS over the batch.
+    spp_batch: int = 1
     # sort bounce rays by (origin cell, direction octant) before traversal:
     # restores packet coherence for the Pallas backend (incoherent packets
     # measured ~20x slower than coherent on v5e)

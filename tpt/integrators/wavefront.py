@@ -422,26 +422,66 @@ def trace_frame(scene: SceneData, raycaster: Raycaster, cam: Camera,
     return finish_carry(cfg, carry)
 
 
-def init_carry(cfg: RenderConfig, ori: Vec3, direction: Vec3, state):
+def init_carry(cfg: RenderConfig, ori: Vec3, direction: Vec3, state,
+               pixel_idx=None):
     n = ori.shape[0]
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(n, dtype=jnp.int32)
     return (ori, direction, Vec3.ones((n,)), jnp.zeros((n,)), state,
             jnp.ones((n,), bool), Vec3.zeros((n,)), Vec3.zeros((n,)),
-            jnp.arange(n, dtype=jnp.int32), GBuffers.zeros(n),
-            jnp.zeros((), jnp.int32))
+            pixel_idx, GBuffers.zeros(n), jnp.zeros((), jnp.int32))
 
 
 def finish_carry(cfg: RenderConfig, carry) -> FrameOutput:
     """Unsort radiance back to pixel order (when the pool was coherence-
-    sorted) and NaN-guard — the end-of-frame accumulation step."""
-    from ..config import RayCastBackend
+    sorted) and NaN-guard — the end-of-frame accumulation step.
 
+    With spp batching the pool holds cfg.spp_batch samples of every pixel
+    (pool = S*N lanes); the pixel sort leaves each pixel's S samples
+    adjacent (lax.sort is stable), so one reshape-sum yields the per-pixel
+    SUM over the batch. G-buffers come from sample batch 0, which sits in
+    raster order in the pool prefix at write time (bounce 0 never sorts)."""
     direct, indirect, pixel_idx, gbuf, rays = (
         carry[6], carry[7], carry[8], carry[9], carry[10])
+    spp = cfg.spp_batch
+    nan_guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
     if cfg.sort_bounce_rays and cfg.backend.is_packet:
         direct, indirect = unsort_by_pixel(pixel_idx, direct, indirect)
-    nan_guard = lambda v: v.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0))
+        if spp > 1:
+            batch_sum = lambda v: v.map(
+                lambda c: c.reshape(-1, spp).sum(axis=1))
+            direct, indirect = batch_sum(direct), batch_sum(indirect)
+    elif spp > 1:
+        # unsorted pool: still S concatenated raster copies
+        batch_sum = lambda v: v.map(lambda c: c.reshape(spp, -1).sum(axis=0))
+        direct, indirect = batch_sum(direct), batch_sum(indirect)
+    if spp > 1:
+        n_pix = pixel_idx.shape[0] // spp
+        gbuf = jax.tree_util.tree_map(lambda a: a[:n_pix], gbuf)
     return FrameOutput(direct=nan_guard(direct), indirect=nan_guard(indirect),
                        gbuf=gbuf, rays_traced=rays)
+
+
+def batched_raygen(cam: Camera, cfg: RenderConfig, iteration):
+    """RayGen for one wavefront dispatch: cfg.spp_batch jittered samples
+    of every pixel in ONE pool (sample s uses iteration+s, so per-path
+    RNG streams are identical to spp_batch=1 frames traced separately).
+    The richer pool tightens the per-bounce coherence sort's packets at
+    the same per-path sort cost — the round-3 headline lever (§1)."""
+    spp = cfg.spp_batch
+    if spp == 1:
+        ori, direction, state = generate_camera_rays(cam, iteration,
+                                                     cfg.jitter)
+        return init_carry(cfg, ori, direction, state)
+    parts = [generate_camera_rays(cam, iteration + jnp.uint32(s),
+                                  cfg.jitter) for s in range(spp)]
+    cat3 = lambda vs: Vec3(*(jnp.concatenate([getattr(v, ax) for v in vs])
+                             for ax in ("x", "y", "z")))
+    ori = cat3([p[0] for p in parts])
+    direction = cat3([p[1] for p in parts])
+    state = jnp.concatenate([p[2] for p in parts])
+    pix = jnp.tile(jnp.arange(cam.num_pixels, dtype=jnp.int32), spp)
+    return init_carry(cfg, ori, direction, state, pixel_idx=pix)
 
 
 def camera_view_proj(cam: Camera) -> jnp.ndarray:
@@ -467,23 +507,26 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
     vp = camera_view_proj(cam)
     if split_bounces is None:
         split_bounces = cfg.backend.is_packet
+    spp = cfg.spp_batch
 
     if not split_bounces:
         @jax.jit
         def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
-            out = trace_frame(scene, raycaster, cam, cfg, iteration, vp,
-                              prev_vp)
+            carry = batched_raygen(cam, cfg, iteration)
+            carry = jax.lax.fori_loop(
+                0, cfg.trace_depth,
+                lambda depth, c: _bounce_body(scene, raycaster, cam, cfg,
+                                              vp, prev_vp, depth, c),
+                carry)
+            out = finish_carry(cfg, carry)
             return out, acc_direct + out.direct, acc_indirect + out.indirect
 
         return frame, vp
 
     # --- split execution: raygen once, then one jitted bounce per call ----
-    n = cam.num_pixels
+    n = cam.num_pixels * spp
 
-    @jax.jit
-    def start(iteration):
-        ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter)
-        return init_carry(cfg, ori, direction, state)
+    start = jax.jit(lambda iteration: batched_raygen(cam, cfg, iteration))
 
     bounce_fn = _make_bounce_fn(scene, raycaster, cam, cfg, vp,
                                 raycaster_primary=raycaster_primary)
@@ -616,8 +659,11 @@ def render(scene: SceneData, cam: Camera, cfg: RenderConfig,
     frame, vp = make_frame_fn(scene, cam, cfg)
     acc_d = Vec3.zeros((cam.num_pixels,))
     acc_i = Vec3.zeros((cam.num_pixels,))
-    for it in range(start_iter, start_iter + iters):
+    spp = cfg.spp_batch
+    total = 0
+    for it in range(start_iter, start_iter + iters, spp):
         out, acc_d, acc_i = frame(jnp.uint32(it), vp, acc_d, acc_i)
+        total += spp
     w, h = cam.resolution
-    img = ((acc_d + acc_i) * (1.0 / iters)).stacked().reshape(h, w, 3)
+    img = ((acc_d + acc_i) * (1.0 / total)).stacked().reshape(h, w, 3)
     return jax.device_get(img)

@@ -257,7 +257,7 @@ def make_displaced_wall(p0, pu, pv, material_id: int, nu: int, nv: int,
 
 
 def fireplace_like(num_triangles: int = 143_000, resolution=(1920, 1080),
-                   seed: int = 11) -> HostScene:
+                   seed: int = 11, windowed: bool = False) -> HostScene:
     """Benchmark interior with the reference scene's *character*: ~143k
     triangles concentrated on surfaces (displaced walls/floor/ceiling,
     furniture blocks, a few detailed props), one area light, the reference
@@ -303,11 +303,32 @@ def fireplace_like(num_triangles: int = 143_000, resolution=(1920, 1080),
                             nu, nu, 3.0, seed=3),                        # back -z
         make_displaced_wall((0, 0, 0), (W, 0, 0), (0, H, 0), wall,
                             nu, nu, 3.0, seed=4),                        # front +z
-        make_displaced_wall((0, 0, 0), (0, H, 0), (0, 0, D), wall,
-                            nu, nu, 3.0, seed=5),                        # left +x
         make_displaced_wall((W, 0, 0), (0, 0, D), (0, H, 0), wall,
                             nu, nu, 3.0, seed=6),                        # right -x
     ]
+    if windowed:
+        # left wall with a rectangular window cut (y 120-280, z 0.3D-0.7D):
+        # four displaced border panels; escaping rays see the sun/sky env
+        # (the env-NEE benchmark configuration — benchmarks/envnee.py)
+        y0, y1 = 120.0, 280.0
+        z0, z1 = 0.3 * D, 0.7 * D
+        nf = lambda f: max(4, int(nu * f))
+        parts.extend([
+            make_displaced_wall((0, 0, 0), (0, y0, 0), (0, 0, D), wall,
+                                nf(y0 / H), nu, 3.0, seed=5),
+            make_displaced_wall((0, y1, 0), (0, H - y1, 0), (0, 0, D), wall,
+                                nf((H - y1) / H), nu, 3.0, seed=15),
+            make_displaced_wall((0, y0, 0), (0, y1 - y0, 0), (0, 0, z0),
+                                wall, nf((y1 - y0) / H), nf(z0 / D),
+                                3.0, seed=25),
+            make_displaced_wall((0, y0, z1), (0, y1 - y0, 0), (0, 0, D - z1),
+                                wall, nf((y1 - y0) / H), nf((D - z1) / D),
+                                3.0, seed=35),
+        ])
+    else:
+        parts.append(
+            make_displaced_wall((0, 0, 0), (0, H, 0), (0, 0, D), wall,
+                                nu, nu, 3.0, seed=5))                    # left +x
     # ceiling lamp (faces down)
     parts.append(make_quad(
         (W * 0.35, H - 2, D * 0.35), (W * 0.65, H - 2, D * 0.35),
