@@ -51,7 +51,10 @@ def main() -> int:
     print(f"[bench] scene ready: {host.mesh.num_triangles} tris, "
           f"backend={backend.name} ({time.time() - t0:.1f}s)", file=sys.stderr)
 
-    spp = int(os.environ.get("BENCH_SPP", "1"))
+    # spp_batch=4 is the measured-best headline config (BENCHMARKS §1:
+    # 4 samples/pixel per wavefront pool -> richer coherence sort, 1.45x
+    # over spp=1; spp=8 OOMs HBM at 1080p).
+    spp = int(os.environ.get("BENCH_SPP", "1" if fast else "4"))
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
