@@ -26,7 +26,9 @@ Everything here runs once at scene build (numpy).
 from __future__ import annotations
 
 import dataclasses
+from dataclasses import dataclass, field
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -127,3 +129,94 @@ def attach_treelets(pack: PacketBVH, max_tris: int = 1024) -> PacketBVH:
         top_tord=jnp.asarray(top_tord),
         num_top=int(ntop), num_treelets=int(n_treelets),
         treelet_max=int(max_tris))
+
+
+# ---------------------------------------------------------------------------
+# Dense-sweep tables (bvh/pallas_sweep.py)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SweepTables:
+    """Per-treelet contiguous triangle ranges, repacked so every treelet's
+    range starts on an `unroll`-row boundary and spans a whole number of
+    `unroll`-row chunks (pad rows are degenerate e1=e2=0 triangles that
+    can never hit). ranges[t] = (row_start, num_chunks)."""
+    tri_f32: jnp.ndarray            # [rows_padded, 16] f32
+    ranges: jnp.ndarray             # [num_treelets, 2] int32
+    boxes: jnp.ndarray              # [num_treelets, 8] f32 aabb lo3/hi3/pad
+    num_treelets: int = field(metadata=dict(static=True), default=0)
+    max_chunks: int = field(metadata=dict(static=True), default=0)
+    unroll: int = field(metadata=dict(static=True), default=8)
+
+
+def _treelet_ranges(pack: PacketBVH):
+    """Per-treelet (aabb[6], tri_start, tri_count) in packed-table rows.
+    Every treelet subtree covers one contiguous range of the packed
+    triangle table (subtrees of both the LBVH collapse and the native SAH
+    build emit leaves depth-first) — asserted here."""
+    top_child = np.asarray(pack.top_child)
+    top_tref = np.asarray(pack.top_tref)
+    top_tord = np.asarray(pack.top_tord)
+    top_f32 = np.asarray(pack.top_f32)
+    child = np.asarray(pack.node_child)
+    arity = pack.arity
+
+    def subtree_range(code):
+        ranges = []
+        stack = [int(code)]
+        while stack:
+            c = stack.pop()
+            if c < 0:
+                s, n = decode_cluster(c)
+                ranges.append((s, n))
+            else:
+                for cc in child[c, :arity]:
+                    if int(cc) != -1:
+                        stack.append(int(cc))
+        ranges.sort()
+        for i in range(len(ranges) - 1):
+            assert ranges[i][0] + ranges[i][1] == ranges[i + 1][0], \
+                "treelet subtree is not a contiguous triangle range"
+        return ranges[0][0], sum(n for _, n in ranges)
+
+    T = pack.num_treelets
+    boxes = np.zeros((T, 6), np.float32)
+    start = np.zeros(T, np.int64)
+    count = np.zeros(T, np.int64)
+    for r in range(top_child.shape[0]):
+        for s in range(arity):
+            if top_child[r, s] != -1:
+                continue
+            code = int(top_tref[r, s])
+            if code == 0:  # empty slot (wide node 0 is always top)
+                continue
+            t = int(top_tord[r, s])
+            boxes[t] = top_f32[r, 6 * s:6 * s + 6]
+            start[t], count[t] = subtree_range(code)
+    return boxes, start, count
+
+
+def sweep_tables(pack: PacketBVH, unroll: int = 8) -> SweepTables:
+    """Build the dense-sweep tables from an attach_treelets() pack."""
+    assert pack.num_treelets > 0, "run attach_treelets() first"
+    boxes, start, count = _treelet_ranges(pack)
+    tri = np.asarray(pack.tri_f32)
+    T = pack.num_treelets
+    chunks = (count + unroll - 1) // unroll
+    row_start = np.zeros(T, np.int64)
+    total = 0
+    for t in range(T):
+        row_start[t] = total
+        total += chunks[t] * unroll
+    out = np.zeros((max(total, unroll), tri.shape[1]), np.float32)
+    for t in range(T):
+        out[row_start[t]:row_start[t] + count[t]] = (
+            tri[start[t]:start[t] + count[t]])
+    ranges = np.stack([row_start, chunks], -1).astype(np.int32)
+    boxes8 = np.zeros((T, 8), np.float32)
+    boxes8[:, :6] = boxes
+    return SweepTables(
+        tri_f32=jnp.asarray(out), ranges=jnp.asarray(ranges),
+        boxes=jnp.asarray(boxes8), num_treelets=T,
+        max_chunks=int(chunks.max()), unroll=unroll)
