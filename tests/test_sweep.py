@@ -68,3 +68,105 @@ class TestSweepCast:
         # sweeps — they may hit, but never crash; t stays finite-or-max
         assert np.isfinite(np.asarray(got.t)).all() or True
         assert np.asarray(got.t).min() > 0
+
+
+class TestSweepCast2:
+    """Full sweep_cast pipeline (scan -> sort -> demand sweep -> tail)."""
+
+    def _bounce_rays(self, host, scene, seed=7):
+        """A secondary-ray population: cosine-scatter from primary hits."""
+        import jax
+        from tpt.core import rng as rngmod
+        from tpt.integrators.common import oriented_geom_normal
+        from tpt.materials.bsdf import cosine_weighted_dir
+
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(seed))
+        n = host.camera.num_pixels
+        hit = brute_force_closest_hit(scene.mesh, ori, d,
+                                      jnp.full((n,), FLT_MAX))
+        live = hit.tri >= 0
+        ht = jnp.minimum(hit.t, 1e4)
+        p = Vec3(ori.x + d.x * ht, ori.y + d.y * ht, ori.z + d.z * ht)
+        nrm = oriented_geom_normal(scene.mesh, hit.tri, -1.0 * d)
+        st = (jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(seed)) \
+            * jnp.uint32(2654435761)
+        st, u1 = rngmod.rand_float(st)
+        st, u2 = rngmod.rand_float(st)
+        nd = cosine_weighted_dir(nrm, u1, u2)
+        off = 1e-3
+        o2 = Vec3(p.x + nrm.x * off, p.y + nrm.y * off, p.z + nrm.z * off)
+        t_max = jnp.where(live, FLT_MAX, -1.0)
+        return o2, nd, t_max
+
+    def test_primaries_match_brute_force(self, sweep_scene):
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, sweep = sweep_scene
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(3))
+        n = host.camera.num_pixels
+        t_max = jnp.full((n,), FLT_MAX)
+        got = sweep_cast(pack, sweep, ori, d, t_max)
+        ref = brute_force_closest_hit(scene.mesh, ori, d, t_max)
+        np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+        m = np.asarray(ref.tri >= 0)
+        np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                                   rtol=1e-5)
+
+    def test_bounce_rays_match_brute_force(self, sweep_scene):
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = self._bounce_rays(host, scene)
+        got = sweep_cast(pack, sweep, o2, nd, t_max)
+        ref = brute_force_closest_hit(scene.mesh, o2, nd,
+                                      jnp.where(t_max > 0, t_max, 0.0))
+        ref_tri = np.where(np.asarray(t_max) > 0, np.asarray(ref.tri), -1)
+        np.testing.assert_array_equal(np.asarray(got.tri), ref_tri)
+        m = ref_tri >= 0
+        np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                                   rtol=1e-5)
+
+    def test_no_tail_is_sound_subset(self, sweep_scene):
+        """tail=False: every returned hit must agree with brute force
+        (the pipeline may miss only where it also reports unresolved —
+        here we just check no WRONG hits are produced)."""
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = self._bounce_rays(host, scene, seed=11)
+        got = sweep_cast(pack, sweep, o2, nd, t_max, tail=False)
+        ref = brute_force_closest_hit(scene.mesh, o2, nd,
+                                      jnp.where(t_max > 0, t_max, 0.0))
+        m = np.asarray(got.tri) >= 0
+        assert m.any()
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.minimum(np.asarray(ref.t), FLT_MAX)[m],
+                                   rtol=1e-4)
+
+    def test_scan_multi_soundness(self, sweep_scene):
+        """The brute-force hit's treelet must be captured in the slots or
+        lie beyond thr_t (the resolution rule's load-bearing invariant)."""
+        from tpt.bvh.pallas_treelet import treelet_scan_multi, _INF
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = self._bounce_rays(host, scene, seed=5)
+        ref = brute_force_closest_hit(scene.mesh, o2, nd,
+                                      jnp.where(t_max > 0, t_max, 0.0))
+        s_t, s_o, thr = treelet_scan_multi(pack, o2, nd, t_max)
+        # host-side: which treelet holds each hit triangle (packed order)
+        ranges = np.asarray(sweep.ranges)
+        # invert: original tri id -> packed row -> treelet
+        tri_rows = np.asarray(sweep.tri_f32[:, 9]).astype(np.int64)
+        row_of_tri = {}
+        for row, tid in enumerate(tri_rows):
+            row_of_tri.setdefault(int(tid), row)
+        tri = np.asarray(ref.tri)
+        t_hit = np.asarray(ref.t)
+        s_o_np = np.asarray(s_o)
+        thr_np = np.asarray(thr)
+        live = (np.asarray(t_max) > 0) & (tri >= 0)
+        bad = 0
+        for i in np.nonzero(live)[0]:
+            row = row_of_tri[int(tri[i])]
+            tl = int(np.searchsorted(ranges[:, 0], row, side="right") - 1)
+            in_slots = (s_o_np[:, i] == tl).any()
+            beyond = thr_np[i] <= t_hit[i] + 1e-4
+            if not (in_slots or beyond):
+                bad += 1
+        assert bad == 0, f"{bad} hits neither slotted nor bounded by thr"

@@ -43,13 +43,34 @@ from .pallas_traverse import LANES, SUBLANES, _interpret, _mt_scalar_tri
 NONE_ORD = 0x7FFFFF
 
 
-def _make_sweep_kernel(num_treelets: int, unroll: int, max_chunks: int):
+def _make_sweep_kernel(num_treelets: int, unroll: int, max_chunks: int,
+                       n_planes: int = 1, demand: bool = False):
     """Kernel over one [8,128] ray block: sweep each distinct requested
-    treelet's full triangle range, keep the per-lane closest hit."""
+    treelet's full triangle range, keep the per-lane closest hit. With
+    n_planes > 1 each lane requests several candidate treelets (ordinal
+    slot planes from treelet_scan_multi) and the kernel sweeps the
+    block's union over ALL planes.
 
-    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-               ord_ref, range_ref, tri_ref,
-               t_out, tri_out, u_out, v_out):
+    With demand=True each ordinal plane comes with its entry-t plane and
+    a lane's request for slot k is dropped once its current best hit
+    precedes the slot's entry (s_t[k] >= best_t => no closer hit can
+    live there). Sound because best_t only decreases: a slot skipped at
+    its ordinal's turn stays provably unneeded forever, and slots are
+    all requested initially (the scan only emits entry < t_max). This
+    lets one kernel invocation subsume the multi-round re-binning
+    pipeline: far slots usually die before their turn."""
+
+    def kernel(*refs):
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref) = refs[:7]
+        k = 7
+        ord_refs = refs[k:k + n_planes]
+        k += n_planes
+        st_refs = ()
+        if demand:
+            st_refs = refs[k:k + n_planes]
+            k += n_planes
+        range_ref, tri_ref = refs[k:k + 2]
+        t_out, tri_out, u_out, v_out = refs[k + 2:]
         ox = ox_ref[0]
         oy = oy_ref[0]
         oz = oz_ref[0]
@@ -57,16 +78,27 @@ def _make_sweep_kernel(num_treelets: int, unroll: int, max_chunks: int):
         dy = dy_ref[0]
         dz = dz_ref[0]
         tmax = tmax_ref[0]
-        ords = ord_ref[0]
+        ord_planes = [r[0] for r in ord_refs]
+        st_planes = [r[0] for r in st_refs]
 
         best_t = jnp.minimum(tmax, 3.4e38)  # FLT_MAX as a literal: jnp
         # scalars captured from module scope become pallas constants
-        best_tri = jnp.full_like(ords, -1)
+        best_tri = jnp.full_like(ord_planes[0], -1)
         best_u = jnp.zeros_like(best_t)
         best_v = jnp.zeros_like(best_t)
 
+        def next_ord(cur, bt):
+            """Smallest requested ordinal > cur under the demand mask."""
+            nxt = jnp.int32(NONE_ORD)
+            for i, o in enumerate(ord_planes):
+                m = o > cur
+                if demand:
+                    m = m & (st_planes[i] < bt)
+                nxt = jnp.minimum(nxt, jnp.min(jnp.where(m, o, NONE_ORD)))
+            return nxt
+
         # first requested ordinal in the block (dead lanes carry NONE_ORD)
-        cur0 = jnp.min(ords)
+        cur0 = next_ord(jnp.int32(-1), best_t)
 
         def sweep_cond(state):
             cur, *_ = state
@@ -95,9 +127,7 @@ def _make_sweep_kernel(num_treelets: int, unroll: int, max_chunks: int):
             bt, btri, bu, bv = jax.lax.fori_loop(
                 0, jnp.minimum(nchunks, max_chunks), chunk,
                 (bt, btri, bu, bv))
-            # next distinct ordinal present in the block (min over > cur)
-            nxt = jnp.min(jnp.where(ords > cur, ords, NONE_ORD))
-            return nxt, bt, btri, bu, bv
+            return next_ord(cur, bt), bt, btri, bu, bv
 
         _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
             sweep_cond, sweep_body,
@@ -125,12 +155,19 @@ def _tile(a, rows, fill=0):
 
 @functools.partial(jax.jit, static_argnames=("unroll",))
 def sweep_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
-                      ordinal: jnp.ndarray, unroll: int = 8) -> HitRecord:
-    """Closest hit where lane i tests ONLY treelet `ordinal[i]`'s triangle
-    range (plus any other ordinals present in its 1024-lane block — free
-    extra coverage, still exact). `ordinal` must be block-sorted for
-    performance (identical values adjacent); NONE_ORD lanes (or t_max<=0)
-    are skipped. `sweep` is a SweepTables (treelet.sweep_tables)."""
+                      ordinal, entry_t=None, unroll: int = 8) -> HitRecord:
+    """Closest hit where lane i tests ONLY its requested treelets'
+    triangle ranges (plus any other ordinals present in its 1024-lane
+    block — free extra coverage, still exact). `ordinal` is one int32
+    array or a tuple of them (candidate slot planes); each must be
+    block-sorted for performance (identical values adjacent); NONE_ORD
+    lanes (or t_max<=0) are skipped. `entry_t` (tuple matching
+    `ordinal`) enables demand-driven slot dropping — see
+    _make_sweep_kernel. `sweep` is a SweepTables (treelet.sweep_tables)."""
+    if not isinstance(ordinal, (tuple, list)):
+        ordinal = (ordinal,)
+    n_planes = len(ordinal)
+    demand = entry_t is not None
     rows = SUBLANES
     ox, nt, n = _tile(ori.x, rows)
     oy, _, _ = _tile(ori.y, rows)
@@ -141,11 +178,19 @@ def sweep_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
     tm = jnp.where(t_max > 0, t_max, 0.0)
     tm, _, _ = _tile(tm, rows)
     # pad lanes and dead rays carry NONE_ORD so they never force a sweep
-    og = jnp.where(t_max > 0, ordinal, NONE_ORD)
-    og, _, _ = _tile(og, rows, fill=NONE_ORD)
+    ogs = []
+    for o in ordinal:
+        og = jnp.where(t_max > 0, o, NONE_ORD)
+        og, _, _ = _tile(og, rows, fill=NONE_ORD)
+        ogs.append(og)
+    if demand:
+        assert len(entry_t) == n_planes
+        for st in entry_t:
+            sg, _, _ = _tile(st, rows, fill=3.0e38)
+            ogs.append(sg)
 
     kernel = _make_sweep_kernel(sweep.num_treelets, unroll,
-                                sweep.max_chunks)
+                                sweep.max_chunks, n_planes, demand)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -159,7 +204,7 @@ def sweep_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
     bt, btri, bu, bv = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[ray_spec] * 8 + [smem_spec, tab_spec],
+        in_specs=([ray_spec] * (7 + len(ogs)) + [smem_spec, tab_spec]),
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -167,7 +212,7 @@ def sweep_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(ox, oy, oz, dx, dy, dz, tm, og, sweep.ranges, sweep.tri_f32)
+    )(ox, oy, oz, dx, dy, dz, tm, *ogs, sweep.ranges, sweep.tri_f32)
 
     flat = lambda a: a.reshape(-1)[:n]
     bt = flat(bt)

@@ -636,3 +636,174 @@ def treelet_closest_hit(pack: PacketBVH, ori: Vec3, d: Vec3,
         u=flat(bu),
         v=flat(bv),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-slot scan: S nearest treelet candidates per ray (sweep-cast phase 1)
+# ---------------------------------------------------------------------------
+
+NONE_ORD = 0x7FFFFF  # matches bvh/pallas_sweep.NONE_ORD
+
+
+def _make_kernel_scan_multi(num_top: int, arity: int, node_pops: int,
+                            rows: int, S: int):
+    """Phase-1-only kernel emitting, per lane, the S lexicographically
+    nearest (entry_t, ordinal) treelet candidates plus thr_t — a lower
+    bound on the entry t of EVERY candidate not captured in the slots
+    (displaced inserts, window-pruned candidates, window-pruned internal
+    subtrees). Soundness: after densely testing the slots' treelets, a
+    lane whose best hit t satisfies t <= thr_t (or whose remaining slots
+    are empty) cannot be beaten by any unexplored treelet — that is the
+    sweep-cast resolution rule (bvh/sweepcast.py).
+
+    Rank data that shaped S=4 (benchmarks/sweep_kernel.py, fireplace
+    143k tris, mt=256): bounce-ray hits land at candidate rank <=1 for
+    73.5%, <=2 for 94.6%; primaries almost never resolve at rank 0 (the
+    origin sits inside boxes it passes through)."""
+    A = arity
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               top_ref, topc_ref, tref_ref, tord_ref, *outs):
+        nstack = outs[-1]
+        st_outs = outs[:S]
+        so_outs = outs[S:2 * S]
+        thr_out = outs[2 * S]
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        bt = jnp.minimum(tmax_ref[0], _INF)
+        ix = _safe_inv(dx)
+        iy = _safe_inv(dy)
+        iz = _safe_inv(dz)
+        oct_idx = _packet_octant(dx, dy, dz)
+
+        none_o = jnp.full((rows, LANES), NONE_ORD, jnp.int32)
+        inf = jnp.full((rows, LANES), _INF, jnp.float32)
+
+        nstack[0] = jnp.int32(0)
+
+        def cond(st):
+            step, sp = st[0], st[1]
+            return (sp > 0) & (step < 8 * num_top + 1024)
+
+        def body(st):
+            step, sp = st[0], st[1]
+            s_t = list(st[2:2 + S])
+            s_o = list(st[2 + S:2 + 2 * S])
+            thr = st[2 + 2 * S]
+            for _ in range(node_pops):
+                has = sp > 0
+                code = jnp.where(has, nstack[jnp.maximum(sp - 1, 0)],
+                                 jnp.int32(-1))
+                sp = jnp.where(has, sp - 1, sp)
+                nid = jnp.clip(code, 0, num_top - 1)
+                row = top_ref[pl.ds(nid, 1), :]
+                crow = topc_ref[pl.ds(nid, 1), :]
+                trow = tref_ref[pl.ds(nid, 1), :]
+                orow = tord_ref[pl.ds(nid, 1), :]
+                ordw = _select_order_word(crow, oct_idx)
+                valid_pop = code >= 0
+                codes, anyh = [], []
+                for s in range(A):
+                    hit_s, tn_s = _slab(row, 6 * s, ox, oy, oz,
+                                        ix, iy, iz, bt)
+                    kept_s = tn_s <= s_t[S - 1]
+                    child_id = crow[0, s]
+                    is_internal = child_id >= 0
+                    cand = (hit_s & (tn_s < bt) & valid_pop
+                            & jnp.logical_not(is_internal))
+                    # anything the slot window excludes lower-bounds thr
+                    excl = ((cand | (hit_s & valid_pop & is_internal))
+                            & ~kept_s)
+                    thr = jnp.where(excl, jnp.minimum(thr, tn_s), thr)
+                    valid = cand & kept_s
+                    cur_t = jnp.where(valid, tn_s, _INF)
+                    cur_o = jnp.where(valid, orow[0, s], NONE_ORD)
+                    for i in range(S):
+                        swap = _lex_lt(cur_t, cur_o, s_t[i], s_o[i])
+                        s_t[i], cur_t = (jnp.where(swap, cur_t, s_t[i]),
+                                         jnp.where(swap, s_t[i], cur_t))
+                        s_o[i], cur_o = (jnp.where(swap, cur_o, s_o[i]),
+                                         jnp.where(swap, s_o[i], cur_o))
+                    # displaced slot (or uninserted candidate) falls to thr
+                    thr = jnp.where(cur_o != NONE_ORD,
+                                    jnp.minimum(thr, cur_t), thr)
+                    codes.append(child_id)
+                    anyh.append(hit_s & kept_s & is_internal & valid_pop)
+                any_scalar = _children_any_hit(anyh)
+                for pos in range(A - 1, -1, -1):
+                    slot = (ordw >> (4 * pos)) & 15
+                    csel = jnp.int32(-1)
+                    hsel = False
+                    for s in range(A):
+                        is_s = slot == s
+                        csel = jnp.where(is_s, codes[s], csel)
+                        hsel = jnp.logical_or(
+                            jnp.logical_and(is_s, any_scalar[s]), hsel)
+                    do_push = hsel & (csel >= 0) & (sp < 256)
+
+                    @pl.when(do_push)
+                    def _(csel=csel, sp=sp):
+                        nstack[sp] = csel
+
+                    sp = sp + do_push.astype(jnp.int32)
+            return (step + 1, sp) + tuple(s_t) + tuple(s_o) + (thr,)
+
+        init = (jnp.int32(0), (jnp.max(bt) > 0.0).astype(jnp.int32))
+        init += tuple(inf for _ in range(S))
+        init += tuple(none_o for _ in range(S))
+        init += (inf,)
+        fin = jax.lax.while_loop(cond, body, init)
+        for i in range(S):
+            st_outs[i][0, :, :] = fin[2 + i]
+            so_outs[i][0, :, :] = fin[2 + S + i]
+        thr_out[0, :, :] = fin[2 + 2 * S]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("slots", "node_pops", "group"))
+def treelet_scan_multi(pack: PacketBVH, ori: Vec3, d: Vec3,
+                       t_max: jnp.ndarray, slots: int = 4,
+                       node_pops: int = 4, group: int = 2):
+    """S-slot treelet candidate scan. Returns (s_t [S,n] f32 entry ts
+    ascending, s_ord [S,n] int32 dense ordinals (NONE_ORD = empty),
+    thr_t [n] f32 lower bound on every uncaptured candidate's entry t;
+    _INF = the slots are exhaustive). Dead lanes (t_max <= 0) emit all
+    slots empty with thr_t = _INF."""
+    assert pack.top_f32 is not None
+    S = slots
+    rows = SUBLANES * group
+    ox, oy, oz, dx, dy, dz, tm, nt, n = _tile_rays_grouped(ori, d, t_max,
+                                                           group)
+    kernel = _make_kernel_scan_multi(pack.num_top, pack.arity, node_pops,
+                                     rows, S)
+    ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = ([jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32)
+                  for _ in range(S)]
+                 + [jax.ShapeDtypeStruct((nt, rows, LANES), jnp.int32)
+                    for _ in range(S)]
+                 + [jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32)])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[ray_spec] * 7 + [tab_spec] * 4,
+        out_specs=[ray_spec] * (2 * S + 1),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((258,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(ox, oy, oz, dx, dy, dz, tm, pack.top_f32, pack.top_child,
+      pack.top_tref, pack.top_tord)
+    flat = lambda a: a.reshape(-1)[:n]
+    s_t = jnp.stack([flat(outs[i]) for i in range(S)])
+    s_o = jnp.stack([flat(outs[S + i]) for i in range(S)])
+    return s_t, s_o, flat(outs[2 * S])

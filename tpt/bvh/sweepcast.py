@@ -1,0 +1,98 @@
+"""Sweep-cast: the scan → bin-sort → demand-driven dense sweep → hard
+tail closest-hit pipeline for incoherent (bounce) rays.
+
+This is the round-3 re-binning design that replaces packet *traversal*
+for the binned majority of rays (VERDICT round 2, "find the next
+decade"). Stages, all static-shaped and fully on-device:
+
+1. SCAN (pallas_treelet.treelet_scan_multi): one small top-tree
+   traversal emits each ray's S=4 nearest treelet candidates
+   (entry_t, ordinal) plus thr_t, a lower bound on every candidate the
+   slots could not capture.
+2. BIN SORT: one multi-operand lax.sort keyed on (slot1, slot0)
+   ordinals. Rank data (benchmarks/sweep_kernel.py) shows bounce-ray
+   hits land at candidate rank <=1 for 73.5% and <=2 for 94.6% while
+   rank 0 (the origin's own treelet) almost never resolves — slot1 is
+   the bin a block most wants to agree on. Sorting payloads is ~10x
+   cheaper than gathering them (raysort.py measurement), so the rays
+   and slot planes ride the sort as operands.
+3. SWEEP (pallas_sweep.sweep_closest_hit, demand mode): each 1024-ray
+   block walks the union of its lanes' still-needed candidate
+   treelets and tests every triangle densely — no stack, no per-visit
+   latency chain. Lanes drop slot k the moment their best hit
+   precedes the slot's entry t, so far slots usually die unswept.
+4. RESOLUTION: a lane is done iff best_t <= thr_t (no uncaptured
+   candidate can beat it) or thr_t = INF (the slots were exhaustive).
+   Unresolved lanes (measured ~5-25% depending on depth) fall to the
+   ordinary wide packet traversal with a tight t_max cull; resolved
+   lanes ride along dead (t_max = 0), costing only lane occupancy.
+5. UNSORT: a second lax.sort keyed on the original index restores
+   order (cheaper than a scatter for the same reason as step 2).
+
+Reference counterpart: none — the reference's per-ray MIMD traversal
+(/root/reference/src/kernels/ray_cast.cu:12-122) needs no global
+re-binning; this is the TPU answer to packet-union divergence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vec import Vec3
+from ..integrators.intersect import FLT_MAX, HitRecord
+from .pack import PacketBVH
+from .pallas_sweep import NONE_ORD, sweep_closest_hit
+from .pallas_traverse import packet_closest_hit_wide
+from .pallas_treelet import _INF, treelet_scan_multi
+from .treelet import SweepTables
+
+
+@functools.partial(jax.jit, static_argnames=("slots", "tail"))
+def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
+               t_max: jnp.ndarray, slots: int = 4,
+               tail: bool = True) -> HitRecord:
+    """Exact closest hit (bit-matches brute force up to equal-t ties) for
+    an unsorted ray population; dead lanes (t_max <= 0) return tri=-1."""
+    n = ori.x.shape[0]
+    s_t, s_o, thr = treelet_scan_multi(pack, ori, d, t_max, slots=slots)
+
+    # --- bin sort: key = (slot1, slot0) ordinals, compact ---------------
+    T = sweep.num_treelets
+    o_cap = [jnp.minimum(s_o[i], T).astype(jnp.int32) for i in range(slots)]
+    key = o_cap[1] * (T + 1) + o_cap[0] if slots > 1 else o_cap[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ops = (key, ori.x, ori.y, ori.z, d.x, d.y, d.z, t_max,
+           *(s_o[i] for i in range(slots)),
+           *(s_t[i] for i in range(slots)), thr, idx)
+    ops = jax.lax.sort(ops, num_keys=1)
+    (ox, oy, oz, dx, dy, dz, tm) = ops[1:8]
+    so = ops[8:8 + slots]
+    st = ops[8 + slots:8 + 2 * slots]
+    thr_s = ops[8 + 2 * slots]
+    idx_s = ops[9 + 2 * slots]
+    ori_s = Vec3(ox, oy, oz)
+    d_s = Vec3(dx, dy, dz)
+
+    # --- demand-driven dense sweep --------------------------------------
+    hit = sweep_closest_hit(sweep, ori_s, d_s, tm, tuple(so), tuple(st))
+
+    # --- resolution: nothing uncaptured can beat best_t -----------------
+    best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
+    resolved = (thr_s >= _INF) | (best <= thr_s)
+
+    if tail:
+        tail_tm = jnp.where(resolved, 0.0, jnp.minimum(best, tm))
+        th = packet_closest_hit_wide(pack, ori_s, d_s, tail_tm, t_cull=True)
+        win = th.tri >= 0
+        hit = HitRecord(t=jnp.where(win, th.t, hit.t),
+                        tri=jnp.where(win, th.tri, hit.tri),
+                        u=jnp.where(win, th.u, hit.u),
+                        v=jnp.where(win, th.v, hit.v))
+
+    # --- unsort ---------------------------------------------------------
+    _, t, tri, u, v = jax.lax.sort(
+        (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1)
+    return HitRecord(t=t, tri=tri, u=u, v=v)
