@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Raw throughput of the dense cluster-sweep cast (bvh/pallas_sweep.py)
-on real ray populations, vs the wide packet kernel control.
+"""Stage-resolved throughput of the sweep-cast pipeline
+(bvh/sweepcast.py) on real ray populations, vs the wide packet kernel.
 
-Each ray is assigned its nearest-entered treelet ordinal (host-side slab
-test over treelet AABBs) and the pool is sorted by (ordinal, dir-key).
-The kernel then sweeps each block's ordinal union densely. This measures
-the per-pair-triangle dense cost and block-union overhead in isolation —
-the full pipeline adds scan + re-rounds (integrators wiring).
+Stages timed separately (each its own jit, matching sweep_cast's
+internals): scan (treelet_scan_multi), bin sort (multi-operand
+lax.sort), demand sweep (sweep_closest_hit), tail (packet cast with
+t-cull on unresolved lanes), plus the fused sweep_cast end-to-end and
+the packet-kernel control. Also reports the unresolved fraction — the
+tail's workload share.
 
-Env: SWK_N (2**20), SWK_TRIS (143000), SWK_SIZES ("256 512 1024").
+Env: SWK_N (2**20), SWK_TRIS (143000), SWK_SIZES ("256 512"),
+SWK_REPS (10).
 """
 
 import json
@@ -28,13 +30,15 @@ def main():
     enable_persistent_cache()
 
     from tpt.bvh.pack import build_packet_bvh_wide
-    from tpt.bvh.pallas_sweep import NONE_ORD, sweep_closest_hit
+    from tpt.bvh.pallas_sweep import sweep8_closest_hit, sweep_closest_hit
+    from tpt.bvh.pallas_sweep import dense_scan
     from tpt.bvh.pallas_traverse import packet_closest_hit_wide
+    from tpt.bvh.pallas_treelet import _INF
+    from tpt.bvh.sweepcast import bin_key, sweep_cast
     from tpt.bvh.treelet import attach_treelets, sweep_tables
     from tpt.core.camera import generate_camera_rays
     from tpt.core import rng as rngmod
     from tpt.core.vec import Vec3
-    from tpt.integrators import raysort
     from tpt.integrators.common import oriented_geom_normal
     from tpt.integrators.intersect import FLT_MAX
     from tpt.materials.bsdf import cosine_weighted_dir
@@ -42,8 +46,8 @@ def main():
 
     n = int(os.environ.get("SWK_N", str(2 ** 20)))
     tris = int(os.environ.get("SWK_TRIS", "143000"))
-    sizes = [int(s) for s in os.environ.get("SWK_SIZES",
-                                            "256 512 1024").split()]
+    sizes = [int(s) for s in os.environ.get("SWK_SIZES", "256 512").split()]
+    reps = int(os.environ.get("SWK_REPS", "10"))
 
     t0 = time.time()
     host = procedural.fireplace_like(num_triangles=tris,
@@ -55,78 +59,119 @@ def main():
     print(f"[swk] scene {mesh.num_triangles} tris ({time.time()-t0:.0f}s)",
           file=sys.stderr)
 
-    # populations: primaries + real first-bounce cosine rays
+    # populations: primaries + real first/second-bounce cosine rays
     ori_p, dir_p, _ = generate_camera_rays(cam, jnp.uint32(1))
     tmax = jnp.full((nn,), FLT_MAX)
     pack_w = build_packet_bvh_wide(mesh, bvh, max_cluster=16, arity=4)
-    hit0 = packet_closest_hit_wide(pack_w, ori_p, dir_p, tmax,
-                                   node_pops=4, group=2, cluster_pops=4)
-    pt = ori_p + dir_p * jnp.minimum(hit0.t, 1e4)
-    ngb = oriented_geom_normal(mesh, hit0.tri, -1.0 * dir_p)
-    st = jnp.arange(nn, dtype=jnp.uint32) * jnp.uint32(2654435761)
-    st, u1 = rngmod.rand_float(st)
-    st, u2 = rngmod.rand_float(st)
-    dir_b1 = cosine_weighted_dir(ngb, u1, u2)
-    ori_b1 = pt + ngb * 1e-3
 
-    world_lo, world_inv = raysort.world_bounds(mesh)
+    def bounce_from(o, d, seed):
+        hit = packet_closest_hit_wide(pack_w, o, d, tmax,
+                                      node_pops=4, group=2, cluster_pops=4)
+        ht = jnp.minimum(hit.t, 1e4)
+        p = o + d * ht
+        ngb = oriented_geom_normal(mesh, hit.tri, -1.0 * d)
+        st = (jnp.arange(nn, dtype=jnp.uint32) + jnp.uint32(seed)) \
+            * jnp.uint32(2654435761)
+        st, u1 = rngmod.rand_float(st)
+        st, u2 = rngmod.rand_float(st)
+        nd = cosine_weighted_dir(ngb, u1, u2)
+        tm = jnp.where(hit.tri >= 0, FLT_MAX, -1.0)
+        return p + ngb * 1e-3, nd, tm
 
-    def nearest_ordinal(boxes, o, d):
-        """Host: nearest-entered treelet per ray (entry-t argmin)."""
-        om = np.stack([np.asarray(o.x), np.asarray(o.y),
-                       np.asarray(o.z)], -1).astype(np.float64)
-        dm = np.stack([np.asarray(d.x), np.asarray(d.y),
-                       np.asarray(d.z)], -1).astype(np.float64)
-        inv = 1.0 / np.where(np.abs(dm) < 1e-12,
-                             np.copysign(1e-12, dm), dm)
-        t0_ = (boxes[None, :, 0:3] - om[:, None, :]) * inv[:, None, :]
-        t1_ = (boxes[None, :, 3:6] - om[:, None, :]) * inv[:, None, :]
-        tn = np.minimum(t0_, t1_).max(2)
-        tf = np.maximum(t0_, t1_).min(2)
-        enter = (tf >= np.maximum(tn, 0.0))
-        tn = np.where(enter, np.maximum(tn, 0.0), np.inf)
-        best = tn.argmin(1).astype(np.int32)
-        none = ~enter.any(1)
-        return np.where(none, NONE_ORD, best), enter.sum(1)
+    ori_b1, dir_b1, tm_b1 = bounce_from(ori_p, dir_p, 11)
+    ori_b2, dir_b2, tm_b2 = bounce_from(ori_b1, dir_b1, 23)
 
+    @jax.jit
+    def probe(outs):
+        """Tiny scalar that depends on every leaf — forces completion
+        with a 4-byte fetch (np.asarray of big arrays rides the slow
+        relay and pollutes stage timings by 100s of ms)."""
+        tot = 0.0
+        for leaf in jax.tree_util.tree_leaves(outs):
+            tot = tot + jnp.sum(leaf[::4096].astype(jnp.float32))
+        return tot
+
+    def timed(f, *args):
+        outs = f(*args)
+        float(probe(outs))  # warm/compile
+        ts = []
+        for _ in range(reps):
+            t1 = time.time()
+            outs = f(*args)
+            float(probe(outs))
+            ts.append(time.time() - t1)
+        return outs, min(ts) * 1e3
+
+    results = []
     for mt in sizes:
         pack = attach_treelets(
             build_packet_bvh_wide(mesh, bvh, max_cluster=16, arity=4),
             max_tris=mt)
         sweep = sweep_tables(pack)
-        boxes = np.asarray(sweep.boxes)[:, :6]
-        for pop, (o, d) in (("primary", (ori_p, dir_p)),
-                            ("bounce1", (ori_b1, dir_b1))):
-            ordn, cnt = nearest_ordinal(boxes, o, d)
-            dkey = raysort.coherence_key(o, d, world_lo, world_inv,
-                                         mode="dir_major")
-            (_, _, ox, oy, oz, dx, dy, dz, og) = jax.lax.sort(
-                (jnp.asarray(ordn), dkey, o.x, o.y, o.z, d.x, d.y, d.z,
-                 jnp.asarray(ordn)), num_keys=2)
-            os_, ds_ = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+        T = sweep.num_treelets
+        print(f"[swk] mt={mt}: {T} treelets, max_chunks={sweep.max_chunks}",
+              file=sys.stderr)
 
-            fn = jax.jit(lambda o_, d_, t_, g_: sweep_closest_hit(
-                sweep, o_, d_, t_, g_))
-            hit = fn(os_, ds_, tmax, og)
-            np.asarray(hit.t)
-            t0 = time.time()
-            reps = 3
-            for _ in range(reps):
-                hit = fn(os_, ds_, tmax, og)
-            np.asarray(hit.t)
-            dt = time.time() - t0
-            hitfrac = float(np.asarray(hit.tri >= 0).mean())
-            print(json.dumps({
-                "metric": f"sweep mt:{mt} {pop}",
-                "value": round(nn * reps / dt / 1e6, 3),
-                "unit": "Mrays/s",
-                "treelets": sweep.num_treelets,
-                "mean_entered": round(float(cnt.mean()), 2),
-                "hit_frac": round(hitfrac, 3),
-            }))
+        scan_j = jax.jit(lambda o, d, t: dense_scan(sweep, o, d, t))
+
+        @jax.jit
+        def sort_j(key, o, d, t, so, st_, thr):
+            idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+            return jax.lax.sort(
+                (key, o.x, o.y, o.z, d.x, d.y, d.z, t,
+                 so[0], so[1], so[2], so[3],
+                 st_[0], st_[1], st_[2], st_[3], thr, idx), num_keys=1)
+
+        sweep_j = jax.jit(lambda o, d, t, so, st_: sweep_closest_hit(
+            sweep, o, d, t, so, st_))
+        sweep8_j = jax.jit(lambda o, d, t, so, st_: sweep8_closest_hit(
+            sweep, o, d, t, so, st_))
+        tail_j = jax.jit(lambda o, d, t: packet_closest_hit_wide(
+            pack, o, d, t, t_cull=True))
+        full_j = jax.jit(lambda o, d, t: sweep_cast(pack, sweep, o, d, t,
+                                                    kernel="sublane"))
+        ctrl_j = jax.jit(lambda o, d, t: packet_closest_hit_wide(
+            pack_w, o, d, t))
+
+        for name, (o, d, tm) in (("primary", (ori_p, dir_p, tmax)),
+                                 ("bounce1", (ori_b1, dir_b1, tm_b1)),
+                                 ("bounce2", (ori_b2, dir_b2, tm_b2))):
+            (s_t, s_o, thr), t_scan = timed(scan_j, o, d, tm)
+            key = bin_key(s_o, d, T, 4)
+            ops, t_sort = timed(sort_j, key, o, d, tm,
+                                [s_o[i] for i in range(4)],
+                                [s_t[i] for i in range(4)], thr)
+            ox, oy, oz, dx, dy, dz, tms = ops[1:8]
+            so_s = tuple(ops[8:12])
+            st_s = tuple(ops[12:16])
+            thr_s = ops[16]
+            os_, ds_ = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+            hit, t_sweep = timed(sweep_j, os_, ds_, tms, so_s, st_s)
+            _, t_sweep8 = timed(sweep8_j, os_, ds_, tms, so_s, st_s)
+            best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
+            resolved = (thr_s >= _INF) | (best <= thr_s)
+            unres = float(jnp.mean(1.0 - resolved.astype(jnp.float32)
+                                   * jnp.where(tms > 0, 1.0, 0.0)))
+            live = float(jnp.mean((tms > 0).astype(jnp.float32)))
+            unres_live = float(jnp.mean(((~resolved) & (tms > 0))
+                                        .astype(jnp.float32)))
+            tail_tm = jnp.where(resolved, 0.0, jnp.minimum(best, tms))
+            _, t_tail = timed(tail_j, os_, ds_, tail_tm)
+            _, t_full = timed(full_j, o, d, tm)
+            _, t_ctrl = timed(ctrl_j, o, d, tm)
+            row = dict(mt=mt, pop=name, live=round(live, 3),
+                       unresolved=round(unres_live, 4),
+                       scan_ms=round(t_scan, 2), sort_ms=round(t_sort, 2),
+                       sweep_ms=round(t_sweep, 2),
+                       sweep8_ms=round(t_sweep8, 2),
+                       tail_ms=round(t_tail, 2),
+                       full_ms=round(t_full, 2), ctrl_ms=round(t_ctrl, 2),
+                       full_mrays=round(nn * live / t_full / 1e3, 2),
+                       ctrl_mrays=round(nn * live / t_ctrl / 1e3, 2))
+            print(json.dumps(row))
             sys.stdout.flush()
-    return 0
+    return results
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

@@ -170,3 +170,59 @@ class TestSweepCast2:
             if not (in_slots or beyond):
                 bad += 1
         assert bad == 0, f"{bad} hits neither slotted nor bounded by thr"
+
+
+class TestSweep8:
+    """Sublane-parallel sweep kernel (8 tris x 128 rays per VPU op)."""
+
+    def test_all_ordinals_matches_brute_force(self, sweep_scene):
+        from tpt.bvh.pallas_sweep import sweep8_closest_hit
+        host, scene, pack, sweep = sweep_scene
+        # every 128-lane block must see every ordinal for full coverage
+        assert sweep.num_treelets <= 128
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(1))
+        n = host.camera.num_pixels
+        t_max = jnp.full((n,), FLT_MAX)
+        ordinal = jnp.arange(n, dtype=jnp.int32) % sweep.num_treelets
+
+        got = sweep8_closest_hit(sweep, ori, d, t_max, ordinal)
+        ref = brute_force_closest_hit(scene.mesh, ori, d, t_max)
+        np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+        m = np.asarray(ref.tri >= 0)
+        np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                                   rtol=1e-5)
+
+    def test_pipeline_bounce_rays(self, sweep_scene):
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = TestSweepCast2._bounce_rays(
+            TestSweepCast2(), host, scene, seed=13)
+        got = sweep_cast(pack, sweep, o2, nd, t_max, kernel="sublane")
+        ref = brute_force_closest_hit(scene.mesh, o2, nd,
+                                      jnp.where(t_max > 0, t_max, 0.0))
+        ref_tri = np.where(np.asarray(t_max) > 0, np.asarray(ref.tri), -1)
+        np.testing.assert_array_equal(np.asarray(got.tri), ref_tri)
+        m = ref_tri >= 0
+        np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                                   rtol=1e-5)
+
+
+class TestDenseScan:
+    def test_matches_tree_scan_slots(self, sweep_scene):
+        """Dense scan and top-tree scan are both exact S-nearest by
+        (entry_t, ordinal) lex order — slots must agree exactly."""
+        from tpt.bvh.pallas_sweep import dense_scan
+        from tpt.bvh.pallas_treelet import treelet_scan_multi
+        host, scene, pack, sweep = sweep_scene
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(9))
+        n = host.camera.num_pixels
+        idx = jnp.arange(n)
+        t_max = jnp.where(idx % 5 == 0, -1.0, FLT_MAX)
+        dt, do, dthr = dense_scan(sweep, ori, d, t_max)
+        tt, to, tthr = treelet_scan_multi(pack, ori, d, t_max)
+        np.testing.assert_array_equal(np.asarray(do), np.asarray(to))
+        m = np.asarray(do) != 0x7FFFFF
+        np.testing.assert_allclose(np.asarray(dt)[m], np.asarray(tt)[m],
+                                   rtol=1e-6)
+        # dense thr is exact, tree thr conservative: dense >= tree - eps
+        assert (np.asarray(dthr) >= np.asarray(tthr) - 1e-5).all()

@@ -44,25 +44,41 @@ import jax.numpy as jnp
 from ..core.vec import Vec3
 from ..integrators.intersect import FLT_MAX, HitRecord
 from .pack import PacketBVH
-from .pallas_sweep import NONE_ORD, sweep_closest_hit
+from .pallas_sweep import (NONE_ORD, dense_scan, sweep8_closest_hit,
+                           sweep_closest_hit)
 from .pallas_traverse import packet_closest_hit_wide
-from .pallas_treelet import _INF, treelet_scan_multi
+from .pallas_treelet import _INF
 from .treelet import SweepTables
 
 
-@functools.partial(jax.jit, static_argnames=("slots", "tail"))
+def bin_key(s_o, d: Vec3, T: int, slots: int) -> jnp.ndarray:
+    """(slot1, slot0, dir-octant) composite sort key. The octant tertiary
+    groups same-bin rays by direction cone so the (unsorted) slot2/3
+    requests of adjacent lanes correlate — measured to shrink the demand
+    sweep's block unions. Fits int32 for T < 5000."""
+    assert (T + 1) * (T + 1) * 8 < 2 ** 31
+    o_cap = [jnp.minimum(s_o[i], T).astype(jnp.int32) for i in range(slots)]
+    octant = ((d.x >= 0).astype(jnp.int32) * 4
+              + (d.y >= 0).astype(jnp.int32) * 2
+              + (d.z >= 0).astype(jnp.int32))
+    key = o_cap[1] * (T + 1) + o_cap[0] if slots > 1 else o_cap[0]
+    return key * 8 + octant
+
+
+@functools.partial(jax.jit, static_argnames=("slots", "tail", "kernel"))
 def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                t_max: jnp.ndarray, slots: int = 4,
-               tail: bool = True) -> HitRecord:
+               tail: bool = True, kernel: str = "sublane") -> HitRecord:
     """Exact closest hit (bit-matches brute force up to equal-t ties) for
-    an unsorted ray population; dead lanes (t_max <= 0) return tri=-1."""
+    an unsorted ray population; dead lanes (t_max <= 0) return tri=-1.
+    kernel: "sublane" (sweep8: 128-ray blocks, 8 tris/VPU-op) or "lane"
+    (1024-ray blocks, one tri/op)."""
     n = ori.x.shape[0]
-    s_t, s_o, thr = treelet_scan_multi(pack, ori, d, t_max, slots=slots)
+    s_t, s_o, thr = dense_scan(sweep, ori, d, t_max, slots=slots)
 
-    # --- bin sort: key = (slot1, slot0) ordinals, compact ---------------
+    # --- bin sort: key = (slot1, slot0, octant), compact ----------------
     T = sweep.num_treelets
-    o_cap = [jnp.minimum(s_o[i], T).astype(jnp.int32) for i in range(slots)]
-    key = o_cap[1] * (T + 1) + o_cap[0] if slots > 1 else o_cap[0]
+    key = bin_key(s_o, d, T, slots)
     idx = jnp.arange(n, dtype=jnp.int32)
     ops = (key, ori.x, ori.y, ori.z, d.x, d.y, d.z, t_max,
            *(s_o[i] for i in range(slots)),
@@ -77,7 +93,8 @@ def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
     d_s = Vec3(dx, dy, dz)
 
     # --- demand-driven dense sweep --------------------------------------
-    hit = sweep_closest_hit(sweep, ori_s, d_s, tm, tuple(so), tuple(st))
+    cast = sweep8_closest_hit if kernel == "sublane" else sweep_closest_hit
+    hit = cast(sweep, ori_s, d_s, tm, tuple(so), tuple(st))
 
     # --- resolution: nothing uncaptured can beat best_t -----------------
     best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
@@ -91,6 +108,12 @@ def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                         tri=jnp.where(win, th.tri, hit.tri),
                         u=jnp.where(win, th.u, hit.u),
                         v=jnp.where(win, th.v, hit.v))
+    else:
+        # sound-subset contract: an unresolved lane's sweep best may not
+        # be the global closest — report it as a miss instead of a hit
+        hit = HitRecord(t=jnp.where(resolved, hit.t, FLT_MAX),
+                        tri=jnp.where(resolved, hit.tri, -1),
+                        u=hit.u, v=hit.v)
 
     # --- unsort ---------------------------------------------------------
     _, t, tri, u, v = jax.lax.sort(

@@ -197,13 +197,19 @@ def _treelet_ranges(pack: PacketBVH):
     return boxes, start, count
 
 
-def sweep_tables(pack: PacketBVH, unroll: int = 8) -> SweepTables:
-    """Build the dense-sweep tables from an attach_treelets() pack."""
+def sweep_tables(pack: PacketBVH, unroll: int = 8,
+                 chunk_align: int = 4) -> SweepTables:
+    """Build the dense-sweep tables from an attach_treelets() pack.
+    Per-treelet chunk counts are rounded up to `chunk_align` so the
+    sublane-parallel kernel (pallas_sweep.sweep8_closest_hit) can unroll
+    that many chunks per fori iteration without cross-treelet overrun;
+    pad rows are all-zero degenerate triangles (det = 0, never hit)."""
     assert pack.num_treelets > 0, "run attach_treelets() first"
     boxes, start, count = _treelet_ranges(pack)
     tri = np.asarray(pack.tri_f32)
     T = pack.num_treelets
     chunks = (count + unroll - 1) // unroll
+    chunks = (chunks + chunk_align - 1) // chunk_align * chunk_align
     row_start = np.zeros(T, np.int64)
     total = 0
     for t in range(T):
