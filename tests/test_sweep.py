@@ -140,6 +140,20 @@ class TestSweepCast2:
                                    np.minimum(np.asarray(ref.t), FLT_MAX)[m],
                                    rtol=1e-4)
 
+    def test_tail_overflow_fallback(self, sweep_scene):
+        """slots=1 leaves many lanes unresolved; a tiny tail_prefix forces
+        the full-pool fallback branch of the lax.cond — results must still
+        match brute force exactly."""
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = self._bounce_rays(host, scene, seed=17)
+        got = sweep_cast(pack, sweep, o2, nd, t_max, slots=1,
+                         tail_prefix=128)
+        ref = brute_force_closest_hit(scene.mesh, o2, nd,
+                                      jnp.where(t_max > 0, t_max, 0.0))
+        ref_tri = np.where(np.asarray(t_max) > 0, np.asarray(ref.tri), -1)
+        np.testing.assert_array_equal(np.asarray(got.tri), ref_tri)
+
     def test_scan_multi_soundness(self, sweep_scene):
         """The brute-force hit's treelet must be captured in the slots or
         lie beyond thr_t (the resolution rule's load-bearing invariant)."""

@@ -168,3 +168,20 @@ class TestEndToEnd:
         # identical RNG streams + exact hits: allow only tie-break noise
         diff = np.abs(img_t - img_x)
         assert (diff > 5e-3).mean() < 0.01, diff.max()
+
+    def test_sweep_render_matches_xla_backend(self):
+        """BVH_SWEEP (scan -> bin sort -> demand sweep -> tail) through the
+        full wavefront integrator vs the XLA oracle; both exact."""
+        import tpt
+        from tpt.integrators import wavefront
+
+        host = procedural.cornell_box(resolution=(24, 24), spheres=True)
+        scene = host.build(with_bvh=True, treelet_max_tris=256)
+        cfg_s = tpt.RenderConfig(backend=tpt.RayCastBackend.BVH_SWEEP,
+                                 trace_depth=3, iterations=2)
+        cfg_x = cfg_s.with_(backend=tpt.RayCastBackend.BVH_XLA)
+        img_s = wavefront.render(scene, host.camera, cfg_s)
+        img_x = wavefront.render(scene, host.camera, cfg_x)
+        assert np.isfinite(img_s).all()
+        diff = np.abs(img_s - img_x)
+        assert (diff > 5e-3).mean() < 0.01, diff.max()

@@ -65,10 +65,12 @@ def bin_key(s_o, d: Vec3, T: int, slots: int) -> jnp.ndarray:
     return key * 8 + octant
 
 
-@functools.partial(jax.jit, static_argnames=("slots", "tail", "kernel"))
+@functools.partial(jax.jit,
+                   static_argnames=("slots", "tail", "kernel", "tail_prefix"))
 def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                t_max: jnp.ndarray, slots: int = 4,
-               tail: bool = True, kernel: str = "sublane") -> HitRecord:
+               tail: bool = True, kernel: str = "sublane",
+               tail_prefix: int = 0) -> HitRecord:
     """Exact closest hit (bit-matches brute force up to equal-t ties) for
     an unsorted ray population; dead lanes (t_max <= 0) return tri=-1.
     kernel: "sublane" (sweep8: 128-ray blocks, 8 tris/VPU-op) or "lane"
@@ -101,13 +103,47 @@ def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
     resolved = (thr_s >= _INF) | (best <= thr_s)
 
     if tail:
+        # Unresolved lanes are a sub-percent minority (measured 0.2-0.5%),
+        # but a full-pool tail cast pays the dead-lane tax on EVERY packet
+        # (413-644 ms at 1M rays for <1% live). Compact them into a dense
+        # prefix with one more multi-operand sort (resolved lanes keep
+        # original-index order so the final unsort is unchanged), cast a
+        # static prefix, and fall back to the full-pool cast only if the
+        # unresolved count overflows the prefix (lax.cond: both branches
+        # compile, one runs).
         tail_tm = jnp.where(resolved, 0.0, jnp.minimum(best, tm))
-        th = packet_closest_hit_wide(pack, ori_s, d_s, tail_tm, t_cull=True)
-        win = th.tri >= 0
-        hit = HitRecord(t=jnp.where(win, th.t, hit.t),
-                        tri=jnp.where(win, th.tri, hit.tri),
-                        u=jnp.where(win, th.u, hit.u),
-                        v=jnp.where(win, th.v, hit.v))
+        ckey = jnp.where(resolved, idx_s + n, idx_s)
+        (_, ox2, oy2, oz2, dx2, dy2, dz2, tm2, ht2, htri2, hu2, hv2,
+         idx2) = jax.lax.sort(
+            (ckey, ox, oy, oz, dx, dy, dz, tail_tm,
+             hit.t, hit.tri, hit.u, hit.v, idx_s), num_keys=1)
+        n_unres = jnp.sum((~resolved).astype(jnp.int32))
+        P = min(n, tail_prefix or max(16384, n // 32))
+
+        def prefix_cast(_):
+            h = lambda a: a[:P]
+            th = packet_closest_hit_wide(
+                pack, Vec3(h(ox2), h(oy2), h(oz2)),
+                Vec3(h(dx2), h(dy2), h(dz2)), h(tm2), t_cull=True)
+            pad = lambda a, fill: jnp.concatenate(
+                [a, jnp.full((n - P,), fill, a.dtype)])
+            return (pad(th.t, 0.0), pad(th.tri, -1), pad(th.u, 0.0),
+                    pad(th.v, 0.0))
+
+        def full_cast(_):
+            th = packet_closest_hit_wide(
+                pack, Vec3(ox2, oy2, oz2), Vec3(dx2, dy2, dz2), tm2,
+                t_cull=True)
+            return th.t, th.tri, th.u, th.v
+
+        tt, ttri, tu, tv = jax.lax.cond(n_unres <= P, prefix_cast,
+                                        full_cast, operand=None)
+        win = ttri >= 0
+        hit = HitRecord(t=jnp.where(win, tt, ht2),
+                        tri=jnp.where(win, ttri, htri2),
+                        u=jnp.where(win, tu, hu2),
+                        v=jnp.where(win, tv, hv2))
+        idx_s = idx2
     else:
         # sound-subset contract: an unresolved lane's sweep best may not
         # be the global closest — report it as a miss instead of a hit

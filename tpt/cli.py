@@ -31,7 +31,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--iterations", type=int, default=None,
                    help="override scene ITERATIONS")
     p.add_argument("--depth", type=int, default=None, help="override trace depth")
-    p.add_argument("--backend", choices=["brute", "bvh", "pallas", "auto"],
+    p.add_argument("--backend",
+                   choices=["brute", "bvh", "pallas", "treelet", "sweep",
+                            "auto"],
                    default="auto", help="ray-cast backend")
     p.add_argument("--denoise", action="store_true", help="SVGF real-time mode")
     p.add_argument("--env-nee", action="store_true",
@@ -66,7 +68,9 @@ def main(argv=None) -> int:
     else:
         backend = {"brute": RayCastBackend.BRUTE_FORCE,
                    "bvh": RayCastBackend.BVH_XLA,
-                   "pallas": RayCastBackend.BVH_PALLAS}[args.backend]
+                   "pallas": RayCastBackend.BVH_PALLAS,
+                   "treelet": RayCastBackend.BVH_TREELET,
+                   "sweep": RayCastBackend.BVH_SWEEP}[args.backend]
 
     cfg = RenderConfig(
         mode=mode,

@@ -36,12 +36,18 @@ class RayCastBackend(IntEnum):
     # subtree traversal per round; closest-hit only (any-hit stays on the
     # wide kernel: shadow rays inherit the hit points' coherence)
     BVH_TREELET = 3
+    # sweep-cast pipeline (bvh/sweepcast.py): dense AABB scan -> bin sort
+    # -> demand-driven dense treelet sweep -> wide-kernel tail on the
+    # unresolved minority. Closest-hit only (any-hit stays on the wide
+    # kernel: shadow rays inherit the hit points' coherence).
+    BVH_SWEEP = 4
 
     @property
     def is_packet(self) -> bool:
         """Backends built on the Pallas packet kernels (want coherence
         sorting, split-bounce dispatch, and the adaptive pool)."""
-        return self in (RayCastBackend.BVH_PALLAS, RayCastBackend.BVH_TREELET)
+        return self in (RayCastBackend.BVH_PALLAS, RayCastBackend.BVH_TREELET,
+                        RayCastBackend.BVH_SWEEP)
 
 
 @dataclass(frozen=True)
@@ -125,6 +131,11 @@ class RenderConfig:
     # 1-2 shared treelet drains
     treelet_hybrid: bool = True
     treelet_hard_count: int = 3
+    # sweep-cast knobs (BVH_SWEEP): candidate slots per lane and the
+    # sweep kernel flavor — "sublane" (8 tris x 128 rays per VPU op) or
+    # "lane" (1 tri x 1024 rays); results are identical (tests)
+    sweep_slots: int = 4
+    sweep_kernel: str = "sublane"
     # two-pass extension cast: first cast with t_max = frac * world
     # diagonal (a bounded per-lane limit collapses the packet's node-visit
     # union — far subtrees fail the slab test for every lane), then

@@ -107,6 +107,32 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                 scene.mesh, pack, o, d, t_max, **wide_knobs),
             name="bvh_treelet",
         )
+    if cfg.backend == RayCastBackend.BVH_SWEEP:
+        from ..bvh.pallas_traverse import pallas_any_hit
+        from ..bvh.sweepcast import sweep_cast
+        from ..integrators.intersect import FLT_MAX as _FMAX
+
+        pack, sweep = scene.pack, scene.sweep
+        if pack is None or sweep is None or pack.num_treelets == 0:
+            raise ValueError(
+                "BVH_SWEEP requires sweep tables "
+                "(host.build(with_bvh=True) attaches them for wide,"
+                " non-streaming packs)")
+        wide_knobs = dict(group=cfg.trav_group, node_pops=cfg.trav_node_pops,
+                          cluster_pops=cfg.trav_cluster_pops)
+
+        def closest(o, d, t_max=None):
+            if t_max is None:
+                t_max = jnp.full((o.shape[0],), _FMAX)
+            return sweep_cast(pack, sweep, o, d, t_max,
+                              slots=cfg.sweep_slots, kernel=cfg.sweep_kernel)
+
+        return Raycaster(
+            closest_hit=closest,
+            any_hit=lambda o, d, t_max: pallas_any_hit(
+                scene.mesh, pack, o, d, t_max, **wide_knobs),
+            name="bvh_sweep",
+        )
     from ..bvh.traverse import bvh_closest_hit, bvh_any_hit
 
     return Raycaster(

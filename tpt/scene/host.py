@@ -67,7 +67,7 @@ class HostScene:
     def build(self, with_bvh: bool = False, bvh_builder: str = "auto",
               max_cluster: int = 16, packet_arity: int = 4,
               stream_tris: "bool | str" = "auto",
-              treelet_max_tris: int = 1024) -> SceneData:
+              treelet_max_tris: int = 256) -> SceneData:
         """Upload everything to device pytrees; optionally build the BVH.
 
         bvh_builder: "sah" (native C++ binned SAH — better traversal),
@@ -135,6 +135,7 @@ class HostScene:
         env = self.env_map if self.env_map is not None else EnvMap.disabled()
         bvh = None
         pack = None
+        sweep = None
         if with_bvh:
             from ..bvh.pack import build_packet_bvh, build_packet_bvh_wide
 
@@ -168,8 +169,9 @@ class HostScene:
                 # top-tree tables for the self-rebinning treelet backend
                 # (cheap numpy walk; lets BVH_TREELET switch on without a
                 # scene rebuild). Streaming packs skip it for now.
-                from ..bvh.treelet import attach_treelets
+                from ..bvh.treelet import attach_treelets, sweep_tables
 
                 pack = attach_treelets(pack, max_tris=treelet_max_tris)
+                sweep = sweep_tables(pack)
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
-                         env=env, bvh=bvh, pack=pack)
+                         env=env, bvh=bvh, pack=pack, sweep=sweep)

@@ -216,3 +216,4 @@ class SceneData:
     env: EnvMap
     bvh: Optional[LBVHData] = None
     pack: Optional["object"] = None  # PacketBVH (bvh/pack.py), Pallas backend
+    sweep: Optional["object"] = None  # SweepTables (bvh/treelet.py), BVH_SWEEP
