@@ -46,6 +46,9 @@ def main() -> int:
     t0 = time.time()
     host = procedural.fireplace_like(num_triangles=tris, resolution=res)
     backend = RayCastBackend.BVH_PALLAS if on_tpu else RayCastBackend.BVH_XLA
+    bname = os.environ.get("BENCH_BACKEND")
+    if bname:
+        backend = RayCastBackend[bname.upper()]
     data = host.build(with_bvh=True)
     jax.block_until_ready(data.pack.tri_f32)
     print(f"[bench] scene ready: {host.mesh.num_triangles} tris, "

@@ -108,10 +108,15 @@ def _make_sweep_kernel(num_treelets: int, unroll: int, max_chunks: int,
             cur, bt, btri, bu, bv = state
             start = range_ref[cur, 0]  # 8-aligned row into tri table
             nchunks = range_ref[cur, 1]  # count / unroll, host-padded
+            # provable 8-alignment for the dynamic sublane start (Mosaic
+            # slow-paths unprovably-unaligned starts); exact when unroll
+            # is a multiple of 8, harmless otherwise (start % 8 == 0)
+            start_a = (start // SUBLANES) * SUBLANES \
+                if unroll % SUBLANES == 0 else start
 
             def chunk(i, acc):
                 bt, btri, bu, bv = acc
-                block = tri_ref[pl.ds(start + i * unroll, unroll), :]
+                block = tri_ref[pl.ds(start_a + i * unroll, unroll), :]
                 get = lambda j, c: block[j, c]
                 for j in range(unroll):
                     t, u, v, hitg = _mt_scalar_tri(get, j, ox, oy, oz,
@@ -475,10 +480,16 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
             start = range_ref[cur, 0]
             nchunks = range_ref[cur, 1]
 
+            # start is a multiple of SUBLANES by construction (sweep_tables
+            # rows); recompute via //8*8 so Mosaic can PROVE the dynamic
+            # sublane start is 8-aligned (unaligned dynamic starts hit a
+            # slow path)
+            start_c = start // SUBLANES
+
             def chunk(i, acc):
                 bt, brow, bu, bv = acc
                 for j in range(unroll_chunks):
-                    row0 = start + (i * unroll_chunks + j) * SUBLANES
+                    row0 = (start_c + i * unroll_chunks + j) * SUBLANES
                     block = tri_ref[pl.ds(row0, SUBLANES), :]
                     t, u, v, hitg = _mt_chunk(block, ox, oy, oz, dx, dy, dz)
                     win = hitg & (t < bt)

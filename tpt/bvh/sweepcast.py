@@ -5,29 +5,38 @@ This is the round-3 re-binning design that replaces packet *traversal*
 for the binned majority of rays (VERDICT round 2, "find the next
 decade"). Stages, all static-shaped and fully on-device:
 
-1. SCAN (pallas_treelet.treelet_scan_multi): one small top-tree
-   traversal emits each ray's S=4 nearest treelet candidates
-   (entry_t, ordinal) plus thr_t, a lower bound on every candidate the
-   slots could not capture.
-2. BIN SORT: one multi-operand lax.sort keyed on (slot1, slot0)
+1. SCAN (pallas_sweep.dense_scan): slab-test every treelet AABB per
+   [8,128] ray block (no tree, no serial visit chain) and emit each
+   ray's S=4 nearest treelet candidates (entry_t, ordinal) plus thr_t,
+   an exact lower bound on every candidate the slots could not capture.
+2. BIN SORT: one multi-operand lax.sort keyed on (slot1, slot0, octant)
    ordinals. Rank data (benchmarks/sweep_kernel.py) shows bounce-ray
    hits land at candidate rank <=1 for 73.5% and <=2 for 94.6% while
    rank 0 (the origin's own treelet) almost never resolves — slot1 is
    the bin a block most wants to agree on. Sorting payloads is ~10x
    cheaper than gathering them (raysort.py measurement), so the rays
    and slot planes ride the sort as operands.
-3. SWEEP (pallas_sweep.sweep_closest_hit, demand mode): each 1024-ray
-   block walks the union of its lanes' still-needed candidate
-   treelets and tests every triangle densely — no stack, no per-visit
-   latency chain. Lanes drop slot k the moment their best hit
-   precedes the slot's entry t, so far slots usually die unswept.
+3. SWEEP (pallas_sweep.sweep8_closest_hit, demand mode): each 128-ray
+   block walks the union of its lanes' still-needed candidate treelets
+   and tests every triangle densely (8 tris x 128 rays per VPU op) —
+   no stack, no per-visit latency chain. Lanes drop slot k the moment
+   their best hit precedes the slot's entry t, so far slots usually
+   die unswept.
 4. RESOLUTION: a lane is done iff best_t <= thr_t (no uncaptured
    candidate can beat it) or thr_t = INF (the slots were exhaustive).
-   Unresolved lanes (measured ~5-25% depending on depth) fall to the
-   ordinary wide packet traversal with a tight t_max cull; resolved
-   lanes ride along dead (t_max = 0), costing only lane occupancy.
+   Unresolved lanes (measured 0.2-0.5%) are compacted into a dense
+   prefix by one more sort and cast by the wide packet kernel as a
+   small static prefix (a full-pool tail cast pays the dead-lane tax
+   on EVERY packet: 413-644 ms/1M rays at <1% live); results scatter
+   back. lax.cond falls back to a full-pool cast if the unresolved
+   count overflows the prefix.
 5. UNSORT: a second lax.sort keyed on the original index restores
    order (cheaper than a scatter for the same reason as step 2).
+
+When the caller's pool is ALREADY bin-sorted (the wavefront integrator
+folds the bin key into its per-bounce pool sort — wavefront.py
+sweep_seeding), use `sweep_cast_sorted`: steps 3-4 only, results in the
+given pool order, no internal sort/unsort.
 
 Reference counterpart: none — the reference's per-ray MIMD traversal
 (/root/reference/src/kernels/ray_cast.cu:12-122) needs no global
@@ -65,6 +74,75 @@ def bin_key(s_o, d: Vec3, T: int, slots: int) -> jnp.ndarray:
     return key * 8 + octant
 
 
+def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,
+                       hit: HitRecord, resolved, tail_tm,
+                       tail_prefix: int) -> HitRecord:
+    """Wide-kernel tail over the unresolved minority, returned in the
+    CALLER's lane order. Compacts unresolved lanes to a dense prefix
+    (9-operand sort), casts a static prefix, and scatters the winners
+    back; overflow falls back to a full-pool cast in place (lax.cond)."""
+    n = ori.x.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    n_unres = jnp.sum((~resolved).astype(jnp.int32))
+    P = min(n, tail_prefix or max(16384, n // 32))
+
+    def prefix_cast(_):
+        ckey = jnp.where(resolved, pos + n, pos)
+        (_, ox2, oy2, oz2, dx2, dy2, dz2, tm2, pos2) = jax.lax.sort(
+            (ckey, ori.x, ori.y, ori.z, d.x, d.y, d.z, tail_tm, pos),
+            num_keys=1)
+        h = lambda a: a[:P]
+        th = packet_closest_hit_wide(
+            pack, Vec3(h(ox2), h(oy2), h(oz2)),
+            Vec3(h(dx2), h(dy2), h(dz2)), h(tm2), t_cull=True)
+        pp = pos2[:P]
+        win = th.tri >= 0
+        merge = lambda cur, new: cur.at[pp].set(
+            jnp.where(win, new, cur[pp]))
+        return (merge(hit.t, th.t), merge(hit.tri, th.tri),
+                merge(hit.u, th.u), merge(hit.v, th.v))
+
+    def full_cast(_):
+        th = packet_closest_hit_wide(pack, ori, d, tail_tm, t_cull=True)
+        win = th.tri >= 0
+        return (jnp.where(win, th.t, hit.t),
+                jnp.where(win, th.tri, hit.tri),
+                jnp.where(win, th.u, hit.u),
+                jnp.where(win, th.v, hit.v))
+
+    tt, ttri, tu, tv = jax.lax.cond(n_unres <= P, prefix_cast, full_cast,
+                                    operand=None)
+    return HitRecord(t=tt, tri=ttri, u=tu, v=tv)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tail", "kernel", "tail_prefix"))
+def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
+                      d: Vec3, t_max: jnp.ndarray, s_o, s_t, thr,
+                      tail: bool = True, kernel: str = "sublane",
+                      tail_prefix: int = 0) -> HitRecord:
+    """Demand sweep + resolution + compacted tail over a pool that is
+    ALREADY sorted by bin_key (same-ordinal lanes adjacent — required
+    for performance, not correctness). s_o/s_t are tuples of candidate
+    slot planes, thr the scan's uncaptured-candidate bound (all in the
+    pool's lane order, e.g. carried through the pool sort as operands).
+    Returns hits in the given lane order; dead lanes (t_max <= 0)
+    return tri = -1."""
+    cast = sweep8_closest_hit if kernel == "sublane" else sweep_closest_hit
+    hit = cast(sweep, ori, d, t_max, tuple(s_o), tuple(s_t))
+    best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
+    resolved = (thr >= _INF) | (best <= thr)
+    if tail:
+        tail_tm = jnp.where(resolved, 0.0, jnp.minimum(best, t_max))
+        return _tail_compact_cast(pack, ori, d, hit, resolved, tail_tm,
+                                  tail_prefix)
+    # sound-subset contract: an unresolved lane's sweep best may not be
+    # the global closest — report it as a miss instead of a hit
+    return HitRecord(t=jnp.where(resolved, hit.t, FLT_MAX),
+                     tri=jnp.where(resolved, hit.tri, -1),
+                     u=hit.u, v=hit.v)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("slots", "tail", "kernel", "tail_prefix"))
 def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
@@ -94,62 +172,9 @@ def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
     ori_s = Vec3(ox, oy, oz)
     d_s = Vec3(dx, dy, dz)
 
-    # --- demand-driven dense sweep --------------------------------------
-    cast = sweep8_closest_hit if kernel == "sublane" else sweep_closest_hit
-    hit = cast(sweep, ori_s, d_s, tm, tuple(so), tuple(st))
-
-    # --- resolution: nothing uncaptured can beat best_t -----------------
-    best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
-    resolved = (thr_s >= _INF) | (best <= thr_s)
-
-    if tail:
-        # Unresolved lanes are a sub-percent minority (measured 0.2-0.5%),
-        # but a full-pool tail cast pays the dead-lane tax on EVERY packet
-        # (413-644 ms at 1M rays for <1% live). Compact them into a dense
-        # prefix with one more multi-operand sort (resolved lanes keep
-        # original-index order so the final unsort is unchanged), cast a
-        # static prefix, and fall back to the full-pool cast only if the
-        # unresolved count overflows the prefix (lax.cond: both branches
-        # compile, one runs).
-        tail_tm = jnp.where(resolved, 0.0, jnp.minimum(best, tm))
-        ckey = jnp.where(resolved, idx_s + n, idx_s)
-        (_, ox2, oy2, oz2, dx2, dy2, dz2, tm2, ht2, htri2, hu2, hv2,
-         idx2) = jax.lax.sort(
-            (ckey, ox, oy, oz, dx, dy, dz, tail_tm,
-             hit.t, hit.tri, hit.u, hit.v, idx_s), num_keys=1)
-        n_unres = jnp.sum((~resolved).astype(jnp.int32))
-        P = min(n, tail_prefix or max(16384, n // 32))
-
-        def prefix_cast(_):
-            h = lambda a: a[:P]
-            th = packet_closest_hit_wide(
-                pack, Vec3(h(ox2), h(oy2), h(oz2)),
-                Vec3(h(dx2), h(dy2), h(dz2)), h(tm2), t_cull=True)
-            pad = lambda a, fill: jnp.concatenate(
-                [a, jnp.full((n - P,), fill, a.dtype)])
-            return (pad(th.t, 0.0), pad(th.tri, -1), pad(th.u, 0.0),
-                    pad(th.v, 0.0))
-
-        def full_cast(_):
-            th = packet_closest_hit_wide(
-                pack, Vec3(ox2, oy2, oz2), Vec3(dx2, dy2, dz2), tm2,
-                t_cull=True)
-            return th.t, th.tri, th.u, th.v
-
-        tt, ttri, tu, tv = jax.lax.cond(n_unres <= P, prefix_cast,
-                                        full_cast, operand=None)
-        win = ttri >= 0
-        hit = HitRecord(t=jnp.where(win, tt, ht2),
-                        tri=jnp.where(win, ttri, htri2),
-                        u=jnp.where(win, tu, hu2),
-                        v=jnp.where(win, tv, hv2))
-        idx_s = idx2
-    else:
-        # sound-subset contract: an unresolved lane's sweep best may not
-        # be the global closest — report it as a miss instead of a hit
-        hit = HitRecord(t=jnp.where(resolved, hit.t, FLT_MAX),
-                        tri=jnp.where(resolved, hit.tri, -1),
-                        u=hit.u, v=hit.v)
+    hit = sweep_cast_sorted(pack, sweep, ori_s, d_s, tm, so, st, thr_s,
+                            tail=tail, kernel=kernel,
+                            tail_prefix=tail_prefix)
 
     # --- unsort ---------------------------------------------------------
     _, t, tri, u, v = jax.lax.sort(

@@ -108,8 +108,9 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
             name="bvh_treelet",
         )
     if cfg.backend == RayCastBackend.BVH_SWEEP:
-        from ..bvh.pallas_traverse import pallas_any_hit
-        from ..bvh.sweepcast import sweep_cast
+        from ..bvh.pallas_traverse import (packet_closest_hit_wide,
+                                           pallas_any_hit)
+        from ..bvh.sweepcast import sweep_cast, sweep_cast_sorted
         from ..integrators.intersect import FLT_MAX as _FMAX
 
         pack, sweep = scene.pack, scene.sweep
@@ -121,11 +122,28 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
         wide_knobs = dict(group=cfg.trav_group, node_pops=cfg.trav_node_pops,
                           cluster_pops=cfg.trav_cluster_pops)
 
-        def closest(o, d, t_max=None):
-            if t_max is None:
-                t_max = jnp.full((o.shape[0],), _FMAX)
-            return sweep_cast(pack, sweep, o, d, t_max,
-                              slots=cfg.sweep_slots, kernel=cfg.sweep_kernel)
+        if primary_rays:
+            # raster-coherent primaries: the wide packet kernel with the
+            # primary-tuned group wins (measured 85 vs 93 ms/1M on v5e)
+            prim_knobs = dict(wide_knobs, group=cfg.trav_group_primary)
+
+            def closest(o, d, t_max=None):
+                if t_max is None:
+                    t_max = jnp.full((o.shape[0],), _FMAX)
+                return packet_closest_hit_wide(pack, o, d, t_max,
+                                               **prim_knobs)
+        else:
+            def closest(o, d, t_max=None, sweep_slots=None):
+                if t_max is None:
+                    t_max = jnp.full((o.shape[0],), _FMAX)
+                if sweep_slots is None:
+                    return sweep_cast(pack, sweep, o, d, t_max,
+                                      slots=cfg.sweep_slots,
+                                      kernel=cfg.sweep_kernel)
+                s_o, s_t, thr = sweep_slots
+                return sweep_cast_sorted(pack, sweep, o, d, t_max,
+                                         s_o, s_t, thr,
+                                         kernel=cfg.sweep_kernel)
 
         return Raycaster(
             closest_hit=closest,

@@ -170,9 +170,46 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             first_static)
 
         seed = None
+        sweep_slots_data = None
         treelet_seeding = (cfg.backend == RayCastBackend.BVH_TREELET
                            and do_sort and first_static is False)
-        if treelet_seeding:
+        sweep_seeding = (cfg.backend == RayCastBackend.BVH_SWEEP
+                         and do_sort and first_static is False)
+        if sweep_seeding:
+            # fold the sweep pipeline's bin sort INTO the pool sort: the
+            # dense scan runs on the unsorted pool, the pool sorts once by
+            # (slot1, slot0, octant) bin key (dead lanes last for the
+            # adaptive pool's dense-prefix invariant), and the raycaster
+            # gets the sorted candidate planes — no internal sort/unsort
+            # inside the cast (sweepcast.sweep_cast_sorted).
+            from ..bvh.pallas_sweep import dense_scan
+            from ..bvh.sweepcast import bin_key
+
+            S = cfg.sweep_slots
+            pre_tmax = jnp.where(alive, 3.4e38, -1.0)
+            s_t, s_o, thr = dense_scan(scene.sweep, ori, direction,
+                                       pre_tmax, slots=S)
+            key = jnp.where(
+                alive, bin_key(s_o, direction, scene.sweep.num_treelets, S),
+                jnp.int32(1 << 30))
+            (_, ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
+             drx, dry, drz, inx, iny, inz, pidx, *slot_ops) = jax.lax.sort(
+                (key, ori.x, ori.y, ori.z,
+                 direction.x, direction.y, direction.z,
+                 throughput.x, throughput.y, throughput.z,
+                 last_pdf, state, alive.astype(jnp.int32),
+                 direct.x, direct.y, direct.z,
+                 indirect.x, indirect.y, indirect.z, pixel_idx,
+                 *(s_o[i] for i in range(S)),
+                 *(s_t[i] for i in range(S)), thr), num_keys=1)
+            ori, direction = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+            throughput, last_pdf, state = Vec3(tx, ty, tz), lp, stt
+            alive = al != 0
+            direct, indirect = Vec3(drx, dry, drz), Vec3(inx, iny, inz)
+            pixel_idx = pidx
+            sweep_slots_data = (tuple(slot_ops[:S]),
+                                tuple(slot_ops[S:2 * S]), slot_ops[2 * S])
+        elif treelet_seeding:
             # phase-1 scan + treelet-major re-binning: sort the pool by
             # each ray's nearest-treelet ordinal (then direction cone /
             # origin morton within a treelet), so the self-rebinning
@@ -254,6 +291,10 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             ext_tmax = jnp.where(alive, 3.4e38, -1.0)
             hit = raycaster.closest_hit(ori, direction, ext_tmax, seed=seed,
                                         hard=hard_mask)
+        elif sweep_slots_data is not None:
+            ext_tmax = jnp.where(alive, 3.4e38, -1.0)
+            hit = raycaster.closest_hit(ori, direction, ext_tmax,
+                                        sweep_slots=sweep_slots_data)
         else:
             ext_tmax = jnp.where(alive, 3.4e38, -1.0)
             hit = raycaster.closest_hit(ori, direction, ext_tmax)
