@@ -48,6 +48,7 @@ def main():
     tris = int(os.environ.get("SWK_TRIS", "143000"))
     sizes = [int(s) for s in os.environ.get("SWK_SIZES", "256 512").split()]
     reps = int(os.environ.get("SWK_REPS", "10"))
+    unrolls = [int(u) for u in os.environ.get("SWK_UNROLL", "4").split()]
 
     t0 = time.time()
     host = procedural.fireplace_like(num_triangles=tris,
@@ -147,7 +148,14 @@ def main():
             thr_s = ops[16]
             os_, ds_ = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
             hit, t_sweep = timed(sweep_j, os_, ds_, tms, so_s, st_s)
-            _, t_sweep8 = timed(sweep8_j, os_, ds_, tms, so_s, st_s)
+            t8 = {}
+            for u in unrolls:
+                sw_u = sweep if u == 4 else sweep_tables(pack, chunk_align=u)
+                f = jax.jit(lambda o, d, t, so, st_, _sw=sw_u, _u=u:
+                            sweep8_closest_hit(_sw, o, d, t, so, st_,
+                                               unroll_chunks=_u))
+                _, t8[u] = timed(f, os_, ds_, tms, so_s, st_s)
+            t_sweep8 = t8[unrolls[0]]
             best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
             resolved = (thr_s >= _INF) | (best <= thr_s)
             unres = float(jnp.mean(1.0 - resolved.astype(jnp.float32)
@@ -163,7 +171,8 @@ def main():
                        unresolved=round(unres_live, 4),
                        scan_ms=round(t_scan, 2), sort_ms=round(t_sort, 2),
                        sweep_ms=round(t_sweep, 2),
-                       sweep8_ms=round(t_sweep8, 2),
+                       **{f"sweep8_u{u}_ms": round(v, 2)
+                          for u, v in t8.items()},
                        tail_ms=round(t_tail, 2),
                        full_ms=round(t_full, 2), ctrl_ms=round(t_ctrl, 2),
                        full_mrays=round(nn * live / t_full / 1e3, 2),
