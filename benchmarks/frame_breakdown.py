@@ -47,7 +47,7 @@ def main():
     print(f"[bd] scene ready ({time.time()-t0:.0f}s)", file=sys.stderr)
 
     start = jax.jit(lambda it: wavefront.batched_raygen(cam, cfg, it))
-    bounce = wavefront._make_bounce_fn(scene, raycaster, cam, cfg, vp)
+    bounce = wavefront._make_bounce_fn(scene, raycaster, cam, cfg)
 
     sort_only = jax.jit(lambda c: wavefront._sort_pool(
         scene, cfg, (c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]),
@@ -61,7 +61,7 @@ def main():
     # warmup/compile every dispatch shape
     carry = start(jnp.uint32(1))
     force(carry)
-    c1, _ = bounce(jnp.int32(0), vp, carry)
+    c1, _ = bounce(jnp.int32(0), vp, vp, carry)
     force(c1)
     force(sort_only(c1))
     force(ext_only(c1[0], c1[1], c1[5]))
@@ -82,7 +82,7 @@ def main():
 
         alive_frac = float(jnp.mean(carry[5].astype(jnp.float32)))
         t0 = time.time()
-        carry, _ = bounce(jnp.int32(d), vp, carry)
+        carry, _ = bounce(jnp.int32(d), vp, vp, carry)
         force(carry)
         t_bounce = time.time() - t0
         rays = int(carry[10])

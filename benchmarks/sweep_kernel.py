@@ -148,6 +148,22 @@ def main():
             thr_s = ops[16]
             os_, ds_ = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
             hit, t_sweep = timed(sweep_j, os_, ds_, tms, so_s, st_s)
+            union_stats = {}
+            if os.environ.get("SWK_UNION") == "1":
+                # distinct requested ordinals per 128-lane block: the
+                # sweep8 while-loop's trip count upper bound (demand drops
+                # only shrink it). Separates visit-bound from
+                # chunk-loop-bound regimes.
+                so_h = np.stack([np.asarray(s) for s in so_s])
+                live_h = np.asarray(tms) > 0
+                so_h = np.where(live_h[None, :], so_h, 0x7FFFFF)
+                nb = so_h.shape[1] // 128
+                so_b = so_h[:, :nb * 128].reshape(4, nb, 128)
+                cnts = [np.sum(np.unique(so_b[:, b, :]) != 0x7FFFFF)
+                        for b in range(nb)]
+                union_stats = dict(union_mean=round(float(np.mean(cnts)), 1),
+                                   union_p95=round(
+                                       float(np.percentile(cnts, 95)), 1))
             t8 = {}
             for u in unrolls:
                 sw_u = sweep if u == 4 else sweep_tables(pack, chunk_align=u)
@@ -176,7 +192,8 @@ def main():
                        tail_ms=round(t_tail, 2),
                        full_ms=round(t_full, 2), ctrl_ms=round(t_ctrl, 2),
                        full_mrays=round(nn * live / t_full / 1e3, 2),
-                       ctrl_mrays=round(nn * live / t_ctrl / 1e3, 2))
+                       ctrl_mrays=round(nn * live / t_ctrl / 1e3, 2),
+                       **union_stats)
             print(json.dumps(row))
             sys.stdout.flush()
     return results

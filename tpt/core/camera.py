@@ -79,8 +79,41 @@ class Camera:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CamArrays:
+    """Runtime camera values: every per-move quantity the jitted frame fn
+    needs, as a pytree of small arrays. Passing these as ARGUMENTS (instead
+    of baking them into the trace as constants) makes a camera move a
+    zero-recompile state update — the reference re-inits the whole tracer
+    on a move (/root/reference/src/main.cpp:310-321), which is free on CUDA
+    but would be a multi-minute XLA recompile per move on TPU. Resolution
+    stays static (it sets array shapes)."""
+
+    position: jnp.ndarray      # [3] f32
+    view: jnp.ndarray          # [3]
+    right: jnp.ndarray         # [3]
+    true_up: jnp.ndarray       # [3]
+    pixel_length: jnp.ndarray  # [2]
+    view_proj: jnp.ndarray     # [4, 4] (motion vectors / SVGF reprojection)
+
+
+def camera_arrays(cam: Camera) -> CamArrays:
+    from .mathutil import perspective_look_at
+
+    w, h = cam.resolution
+    vp = jnp.asarray(
+        perspective_look_at(cam.position, cam.look_at, cam.up, cam.fovy_deg,
+                            w / h), jnp.float32)
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return CamArrays(position=f32(cam.position), view=f32(cam.view),
+                     right=f32(cam.right), true_up=f32(cam.true_up),
+                     pixel_length=f32(cam.pixel_length), view_proj=vp)
+
+
 def generate_camera_rays(cam: Camera, iteration: jnp.ndarray,
-                         jitter: bool = True, pix=None):
+                         jitter: bool = True, pix=None,
+                         camv: "CamArrays | None" = None):
     """Primary rays for every pixel (or for the given pixel-index array —
     used by the megakernel's tiled dispatch).
 
@@ -109,10 +142,11 @@ def generate_camera_rays(cam: Camera, iteration: jnp.ndarray,
         jx = jnp.zeros_like(x)
         jy = jnp.zeros_like(y)
 
-    view = Vec3.splat(cam.view)
-    right = Vec3.splat(cam.right)
-    up = Vec3.splat(cam.true_up)
-    plx, ply = cam.pixel_length
+    src = cam if camv is None else camv
+    view = Vec3.splat(src.view)
+    right = Vec3.splat(src.right)
+    up = Vec3.splat(src.true_up)
+    plx, ply = src.pixel_length[0], src.pixel_length[1]
 
     d = (
         view
@@ -120,5 +154,5 @@ def generate_camera_rays(cam: Camera, iteration: jnp.ndarray,
         - up * (ply * (y + jy - 0.5 * h))
     ).normalize()
 
-    origin = Vec3.splat(cam.position, shape=(n,))
+    origin = Vec3.splat(src.position, shape=(n,))
     return origin, d, seed

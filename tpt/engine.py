@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DisplayMode, RenderConfig, RenderMode
-from .core.camera import Camera
+from .core.camera import Camera, camera_arrays
 from .core.vec import Vec3
 from .denoise.svgf import SVGFState, run_svgf
 from .integrators import megakernel, wavefront
@@ -52,6 +52,7 @@ class Renderer:
         self._shape = (h, w)
         self.reset()
 
+        self._camv = camera_arrays(cam)
         if cfg.mode == RenderMode.MEGAKERNEL:
             self._mega_step = megakernel.make_sample_fn(scene, cam, cfg)
             self._frame_fn = None
@@ -75,17 +76,30 @@ class Renderer:
         self.svgf_state = SVGFState.zeros(h, w)
 
     def move_camera(self, cam: Camera):
-        """Re-target the camera: rebuild the jitted step and clear
-        accumulation; the previous view-projection is kept so SVGF motion
-        vectors bridge the move."""
+        """Re-target the camera: a ZERO-RECOMPILE state update when the
+        resolution is unchanged (the camera rides the jitted programs as a
+        runtime CamArrays argument — core/camera.py). The previous
+        view-projection is kept so SVGF motion vectors bridge the move.
+        Resolution changes alter array shapes and rebuild the programs
+        (the reference re-inits the tracer on every move, main.cpp:310-321
+        — free on CUDA, minutes of XLA recompile if done here)."""
+        same_res = cam.resolution == self.cam.resolution
         self.cam = cam
+        self._camv = camera_arrays(cam)
         if self.cfg.mode == RenderMode.MEGAKERNEL:
-            self._mega_step = megakernel.make_sample_fn(self.scene, cam, self.cfg)
+            if not same_res:
+                self._mega_step = megakernel.make_sample_fn(
+                    self.scene, cam, self.cfg)
         else:
             prev = getattr(self, "_vp", None)
-            self._frame_fn, self._vp = wavefront.make_frame_fn(
-                self.scene, cam, self.cfg)
+            if not same_res:
+                self._frame_fn, _ = wavefront.make_frame_fn(
+                    self.scene, cam, self.cfg)
+            self._vp = self._camv.view_proj
             self._prev_vp = prev if prev is not None else self._vp
+        if not same_res:
+            w, h = cam.resolution
+            self._shape = (h, w)
         self.reset()
 
     # -- svgf glue -------------------------------------------------------------
@@ -109,7 +123,8 @@ class Renderer:
         t0 = time.perf_counter()
 
         if self.cfg.mode == RenderMode.MEGAKERNEL:
-            self.acc_mega = self._mega_step(it, self.acc_mega)
+            self.acc_mega = self._mega_step(it, self.acc_mega,
+                                            camv=self._camv)
             img = (self.acc_mega * (1.0 / self.iteration)).stacked()
             img = jax.device_get(img).reshape(h, w, 3)
             rays = self.cam.num_pixels * self.cfg.trace_depth
@@ -119,7 +134,8 @@ class Renderer:
                 self.acc_direct = Vec3.zeros((self.cam.num_pixels,))
                 self.acc_indirect = Vec3.zeros((self.cam.num_pixels,))
             out, self.acc_direct, self.acc_indirect = self._frame_fn(
-                it, self._prev_vp, self.acc_direct, self.acc_indirect)
+                it, self._prev_vp, self.acc_direct, self.acc_indirect,
+                camv=self._camv)
             self._prev_vp = self._vp
             rays = int(out.rays_traced)
 

@@ -31,10 +31,10 @@ from .intersect import FLT_MAX
 
 def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
                  cfg: RenderConfig, iteration: jnp.ndarray,
-                 pix=None) -> Vec3:
+                 pix=None, camv=None) -> Vec3:
     """One sample per pixel (or per `pix` tile); returns radiance Vec3."""
     ori, direction, state = generate_camera_rays(cam, iteration, cfg.jitter,
-                                                 pix=pix)
+                                                 pix=pix, camv=camv)
     n = ori.shape[0]
 
     radiance = Vec3.zeros((n,))
@@ -181,7 +181,9 @@ def trace_sample(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
 
 def make_sample_fn(scene: SceneData, cam: Camera, cfg: RenderConfig):
-    """Returns fn(iteration, accum[N]) -> accum + one sample.
+    """Returns fn(iteration, accum[N], camv=...) -> accum + one sample.
+    `camv` carries the per-move camera values as runtime arrays, so
+    re-targeting the camera reuses the compiled tile programs.
 
     The pixel pool is dispatched in tiles of cfg.megakernel_tile paths:
     one fused whole-path program per tile instead of one per frame. A
@@ -192,29 +194,37 @@ def make_sample_fn(scene: SceneData, cam: Camera, cfg: RenderConfig):
     the whole path — the capability of /root/reference/src/pathtrace.cu:
     645-706). Tiles are raster-contiguous, so primary packets stay
     coherent."""
+    from ..core.camera import camera_arrays
+
     raycaster = make_raycaster(scene, cfg)
+    camv0 = camera_arrays(cam)
     n = cam.num_pixels
     tile = min(cfg.megakernel_tile, n)
     n_tiles = -(-n // tile)
 
     if n_tiles == 1:
         @jax.jit
-        def step(iteration, accum: Vec3) -> Vec3:
-            return accum + trace_sample(scene, raycaster, cam, cfg, iteration)
+        def step_jit(iteration, camv, accum: Vec3) -> Vec3:
+            return accum + trace_sample(scene, raycaster, cam, cfg,
+                                        iteration, camv=camv)
 
+        def step(iteration, accum: Vec3, camv=camv0) -> Vec3:
+            return step_jit(iteration, camv, accum)
+
+        step._jit_fns = (step_jit,)
         return step
 
     @jax.jit
-    def tile_sample(iteration, pix) -> Vec3:
+    def tile_sample(iteration, camv, pix) -> Vec3:
         # out-of-range tail pixels clip to n-1; their radiance is dropped
         return trace_sample(scene, raycaster, cam, cfg, iteration,
-                            pix=jnp.minimum(pix, n - 1))
+                            pix=jnp.minimum(pix, n - 1), camv=camv)
 
-    def step(iteration, accum: Vec3) -> Vec3:
+    def step(iteration, accum: Vec3, camv=camv0) -> Vec3:
         parts = []
         for t in range(n_tiles):
             pix = jnp.arange(t * tile, (t + 1) * tile, dtype=jnp.uint32)
-            parts.append(tile_sample(iteration, pix))
+            parts.append(tile_sample(iteration, camv, pix))
         full = Vec3(
             jnp.concatenate([p.x for p in parts])[:n],
             jnp.concatenate([p.y for p in parts])[:n],
@@ -222,6 +232,7 @@ def make_sample_fn(scene: SceneData, cam: Camera, cfg: RenderConfig):
         )
         return accum + full
 
+    step._jit_fns = (tile_sample,)
     return step
 
 

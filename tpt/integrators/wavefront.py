@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..core import rng
-from ..core.camera import Camera, generate_camera_rays
+from ..core.camera import Camera, camera_arrays, generate_camera_rays
 from ..core.mathutil import (
     EPSILON,
     PDF_DIRAC_DELTA,
@@ -503,7 +503,7 @@ def finish_carry(cfg: RenderConfig, carry) -> FrameOutput:
                        gbuf=gbuf, rays_traced=rays)
 
 
-def batched_raygen(cam: Camera, cfg: RenderConfig, iteration):
+def batched_raygen(cam: Camera, cfg: RenderConfig, iteration, camv=None):
     """RayGen for one wavefront dispatch: cfg.spp_batch jittered samples
     of every pixel in ONE pool (sample s uses iteration+s, so per-path
     RNG streams are identical to spp_batch=1 frames traced separately).
@@ -512,10 +512,10 @@ def batched_raygen(cam: Camera, cfg: RenderConfig, iteration):
     spp = cfg.spp_batch
     if spp == 1:
         ori, direction, state = generate_camera_rays(cam, iteration,
-                                                     cfg.jitter)
+                                                     cfg.jitter, camv=camv)
         return init_carry(cfg, ori, direction, state)
     parts = [generate_camera_rays(cam, iteration + jnp.uint32(s),
-                                  cfg.jitter) for s in range(spp)]
+                                  cfg.jitter, camv=camv) for s in range(spp)]
     cat3 = lambda vs: Vec3(*(jnp.concatenate([getattr(v, ax) for v in vs])
                              for ax in ("x", "y", "z")))
     ori = cat3([p[0] for p in parts])
@@ -533,8 +533,13 @@ def camera_view_proj(cam: Camera) -> jnp.ndarray:
 
 def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
                   split_bounces: Optional[bool] = None):
-    """Returns (frame fn, view_proj). frame(iteration, prev_vp, acc_d, acc_i)
-    -> (FrameOutput, acc_d', acc_i').
+    """Returns (frame fn, view_proj). frame(iteration, prev_vp, acc_d,
+    acc_i, camv=...) -> (FrameOutput, acc_d', acc_i').
+
+    `camv` (a core.camera.CamArrays pytree, defaulting to `cam`'s values)
+    carries every per-move camera quantity as a RUNTIME argument, so
+    re-targeting the camera reuses the compiled programs — the viewer's
+    camera moves cost zero recompiles (engine.Renderer.move_camera).
 
     `split_bounces=True` dispatches one jit call per bounce instead of one
     per frame: on this TPU runtime a deep-bounce frame over a large scene
@@ -545,31 +550,42 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
 
     raycaster = make_raycaster(scene, cfg)
     raycaster_primary = make_raycaster(scene, cfg, primary_rays=True)
-    vp = camera_view_proj(cam)
+    camv0 = camera_arrays(cam)
+    vp = camv0.view_proj
     if split_bounces is None:
         split_bounces = cfg.backend.is_packet
     spp = cfg.spp_batch
 
     if not split_bounces:
         @jax.jit
-        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
-            carry = batched_raygen(cam, cfg, iteration)
+        def frame_jit(iteration, camv, prev_vp, acc_direct: Vec3,
+                      acc_indirect: Vec3):
+            carry = batched_raygen(cam, cfg, iteration, camv=camv)
             carry = jax.lax.fori_loop(
                 0, cfg.trace_depth,
                 lambda depth, c: _bounce_body(scene, raycaster, cam, cfg,
-                                              vp, prev_vp, depth, c),
+                                              camv.view_proj, prev_vp,
+                                              depth, c),
                 carry)
             out = finish_carry(cfg, carry)
             return out, acc_direct + out.direct, acc_indirect + out.indirect
 
+        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3,
+                  camv=camv0):
+            return frame_jit(iteration, camv, prev_vp, acc_direct,
+                             acc_indirect)
+
+        frame._jit_fns = (frame_jit,)
         return frame, vp
 
     # --- split execution: raygen once, then one jitted bounce per call ----
     n = cam.num_pixels * spp
 
-    start = jax.jit(lambda iteration: batched_raygen(cam, cfg, iteration))
+    start = jax.jit(
+        lambda iteration, camv: batched_raygen(cam, cfg, iteration,
+                                               camv=camv))
 
-    bounce_fn = _make_bounce_fn(scene, raycaster, cam, cfg, vp,
+    bounce_fn = _make_bounce_fn(scene, raycaster, cam, cfg,
                                 raycaster_primary=raycaster_primary)
 
     @jax.jit
@@ -605,10 +621,11 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
         tail_leaf = lambda size: (
             lambda a: a[size:] if getattr(a, "ndim", 0) >= 1 else a)
 
-        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
+        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3,
+                  camv=camv0):
             import numpy as _np
 
-            carry = start(iteration)
+            carry = start(iteration, camv)
             head = n
             alive_count = n
             # alive lanes are known to sit in prefix(compact_bound) only
@@ -627,7 +644,8 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
                                                        carry)
                         head = new_head
                 entry_count = alive_count
-                carry, alive_scalar = bounce_fn(jnp.int32(depth), prev_vp,
+                carry, alive_scalar = bounce_fn(jnp.int32(depth),
+                                                camv.view_proj, prev_vp,
                                                 carry)
                 alive_count = int(_np.asarray(alive_scalar))
                 if depth >= 1:  # this bounce sorted: live now in a prefix
@@ -639,12 +657,15 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
                     carry, tail)
             return finish(carry, acc_direct, acc_indirect)
     else:
-        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3):
-            carry = start(iteration)
+        def frame(iteration, prev_vp, acc_direct: Vec3, acc_indirect: Vec3,
+                  camv=camv0):
+            carry = start(iteration, camv)
             for depth in range(cfg.trace_depth):
-                carry, _ = bounce_fn(jnp.int32(depth), prev_vp, carry)
+                carry, _ = bounce_fn(jnp.int32(depth), camv.view_proj,
+                                     prev_vp, carry)
             return finish(carry, acc_direct, acc_indirect)
 
+    frame._jit_fns = (start, finish) + bounce_fn._jit_fns
     return frame, vp
 
 
@@ -655,11 +676,13 @@ def do_adaptive_pool(cfg: RenderConfig) -> bool:
 
 
 def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
-                    cfg: RenderConfig, view_proj,
+                    cfg: RenderConfig,
                     raycaster_primary: Optional[Raycaster] = None):
     """One wavefront bounce over the (possibly sliced) path pool (split
-    mode). Returns (carry', alive_count) — the scalar count is the 4-byte
-    per-bounce readback driving adaptive pool shrinking.
+    mode): one_bounce(depth, view_proj, prev_view_proj, carry). Returns
+    (carry', alive_count) — the scalar count is the 4-byte per-bounce
+    readback driving adaptive pool shrinking. Both view-projections are
+    runtime arrays so camera moves reuse the compiled programs.
 
     Depth is known on the host in split mode, so bounce 0 gets its own
     program: the primary-tuned traversal kernel (large packet group —
@@ -667,24 +690,26 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
     ray0 = raycaster_primary or raycaster
 
     @jax.jit
-    def bounce_first(prev_view_proj, carry):
+    def bounce_first(view_proj, prev_view_proj, carry):
         out = _bounce_body(scene, ray0, cam, cfg, view_proj,
                            prev_view_proj, jnp.int32(0), carry,
                            first_static=True)
         return out, jnp.sum(out[5].astype(jnp.int32))
 
     @jax.jit
-    def bounce_rest(depth, prev_view_proj, carry):
+    def bounce_rest(depth, view_proj, prev_view_proj, carry):
         out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
                            prev_view_proj, depth, carry,
                            first_static=False)
         return out, jnp.sum(out[5].astype(jnp.int32))
 
-    def one_bounce(depth, prev_view_proj, carry):
+    def one_bounce(depth, view_proj, prev_view_proj, carry):
         if int(depth) == 0:
-            return bounce_first(prev_view_proj, carry)
-        return bounce_rest(jnp.int32(depth), prev_view_proj, carry)
+            return bounce_first(view_proj, prev_view_proj, carry)
+        return bounce_rest(jnp.int32(depth), view_proj, prev_view_proj,
+                           carry)
 
+    one_bounce._jit_fns = (bounce_first, bounce_rest)
     return one_bounce
 
 

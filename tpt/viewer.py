@@ -22,12 +22,41 @@ from .engine import Renderer
 from .io.image import save_png, tonemap
 
 
+def make_preview_renderer(renderer: Renderer, scale: int = 4) -> Renderer:
+    """A second engine at 1/scale resolution sharing the scene, used for
+    fast feedback while the camera is moving (the reference's GPU renders
+    every frame interactively, preview.cpp:175-198; at TPU frame costs the
+    viewer instead drops resolution by scale^2 during navigation and lets
+    the full-res engine re-accumulate once the camera rests). Camera moves
+    on BOTH engines are zero-recompile (CamArrays runtime args), so
+    navigation costs no retraces after the first preview frame."""
+    cam = renderer.cam
+    w, h = cam.resolution
+    from .core.camera import Camera
+
+    small = Camera.build((max(16, w // scale), max(16, h // scale)),
+                         cam.position, cam.look_at, cam.up, cam.fovy_deg)
+    return Renderer(renderer.scene, small, renderer.cfg)
+
+
+def _upscale(img: np.ndarray, shape) -> np.ndarray:
+    """Nearest-neighbour upscale of [h,w,3] to `shape` (no deps)."""
+    h, w = shape
+    sh, sw = img.shape[:2]
+    yi = (np.arange(h) * sh) // h
+    xi = (np.arange(w) * sw) // w
+    return img[yi][:, xi]
+
+
 def run_viewer(renderer: Renderer, max_frames: int = 0,
                out_dir: str = ".", snapshot_every: int = 10,
-               interactive: Optional[bool] = None) -> None:
+               interactive: Optional[bool] = None,
+               preview_scale: int = 4) -> None:
     """Progressive render loop. Keyboard (interactive matplotlib):
     1-5 display channels, d toggles denoiser, s saves, q quits —
-    mirroring the reference key bindings (main.cpp:347-408)."""
+    mirroring the reference key bindings (main.cpp:347-408). While the
+    camera moves, frames come from a 1/preview_scale-resolution engine
+    (scale^2 fewer paths) for responsive navigation; set 1 to disable."""
     if interactive is None:
         interactive = bool(os.environ.get("DISPLAY"))
 
@@ -52,11 +81,14 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
 
     fig, ax = plt.subplots(figsize=(8, 8))
     fig.canvas.manager.set_window_title("tpt viewer")
-    state = {"quit": False}
+    state = {"quit": False, "moving_until": 0.0}
+    preview = (make_preview_renderer(renderer, preview_scale)
+               if preview_scale > 1 else None)
 
     def move_camera(forward=0.0, right=0.0, up=0.0):
         """FPS-style camera translation (reference main.cpp:271-301);
-        resets accumulation like the reference's camera edits."""
+        resets accumulation like the reference's camera edits. Both
+        engines re-target without recompiling (CamArrays)."""
         import numpy as np_
 
         cam = renderer.cam
@@ -65,9 +97,14 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
         delta = (np_.asarray(cam.view) * forward
                  + np_.asarray(cam.right) * right
                  + np_.asarray(cam.true_up) * up) * speed
-        renderer.move_camera(cam.moved(
+        moved = cam.moved(
             position=tuple(np_.asarray(cam.position) + delta),
-            look_at=tuple(np_.asarray(cam.look_at) + delta)))
+            look_at=tuple(np_.asarray(cam.look_at) + delta))
+        renderer.move_camera(moved)
+        if preview is not None:
+            preview.move_camera(preview.cam.moved(
+                position=moved.position, look_at=moved.look_at))
+            state["moving_until"] = time.time() + 0.75
 
     def on_key(event):
         k = event.key
@@ -107,13 +144,20 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
     plt.show()
 
     frame_count = 0
+    full_shape = renderer._shape
     while not state["quit"] and (max_frames <= 0 or frame_count < max_frames):
-        img = renderer.frame()
+        navigating = preview is not None and time.time() < state[
+            "moving_until"]
+        if navigating:
+            img = _upscale(preview.frame(), full_shape)
+            g = preview.gui
+        else:
+            img = renderer.frame()
+            g = renderer.gui
         frame_count += 1
         handle.set_data(tonemap(img[:, ::-1]))
-        g = renderer.gui
         ax.set_title(f"iter {frame_count} | {g.frame_ms:.1f} ms | "
                      f"{g.mrays_per_sec:.2f} MRays/s | "
-                     f"{'SVGF on' if g.denoiser_on else 'accumulating'}")
+                     f"{'preview' if navigating else ('SVGF on' if g.denoiser_on else 'accumulating')}")
         fig.canvas.draw_idle()
         plt.pause(0.001)
