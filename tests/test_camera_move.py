@@ -117,6 +117,19 @@ class TestNavigationPreview:
         p.move_camera(p.cam.moved(position=MOVED_EYE))
         assert p.frame().shape == (16, 16, 3)
 
+    def test_yaw_pitch_roundtrip(self):
+        import numpy as np
+
+        from tpt.viewer import view_from_yaw_pitch, yaw_pitch_from_view
+
+        for v in ((0.0, 0.0, -1.0), (1.0, 0.0, 0.0),
+                  (0.577, 0.577, -0.578), (0.0, 0.999, 0.045)):
+            v = np.asarray(v) / np.linalg.norm(v)
+            yaw, pitch = yaw_pitch_from_view(v)
+            back = np.asarray(view_from_yaw_pitch(yaw, pitch))
+            np.testing.assert_allclose(back, v, atol=1e-6)
+        assert yaw_pitch_from_view((0.0, 1.0, 0.0))[1] == 90.0
+
 
 if __name__ == "__main__":
     import sys

@@ -39,6 +39,25 @@ def make_preview_renderer(renderer: Renderer, scale: int = 4) -> Renderer:
     return Renderer(renderer.scene, small, renderer.cfg)
 
 
+def yaw_pitch_from_view(view) -> tuple:
+    """Decompose a unit view direction into (yaw, pitch) degrees using the
+    reference's FPS-camera convention (main.cpp:updateCameraVectors):
+    front = (cos(yaw)cos(pitch), sin(pitch), sin(yaw)cos(pitch))."""
+    import math
+
+    pitch = math.degrees(math.asin(max(-1.0, min(1.0, float(view[1])))))
+    yaw = math.degrees(math.atan2(float(view[2]), float(view[0])))
+    return yaw, pitch
+
+
+def view_from_yaw_pitch(yaw: float, pitch: float) -> tuple:
+    import math
+
+    cy, sy = math.cos(math.radians(yaw)), math.sin(math.radians(yaw))
+    cp, sp = math.cos(math.radians(pitch)), math.sin(math.radians(pitch))
+    return (cy * cp, sp, sy * cp)
+
+
 def _upscale(img: np.ndarray, shape) -> np.ndarray:
     """Nearest-neighbour upscale of [h,w,3] to `shape` (no deps)."""
     h, w = shape
@@ -100,11 +119,30 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
         moved = cam.moved(
             position=tuple(np_.asarray(cam.position) + delta),
             look_at=tuple(np_.asarray(cam.look_at) + delta))
+        _retarget(moved)
+
+    def _retarget(moved):
         renderer.move_camera(moved)
         if preview is not None:
             preview.move_camera(preview.cam.moved(
                 position=moved.position, look_at=moved.look_at))
             state["moving_until"] = time.time() + 0.75
+
+    def look_camera(dx_px, dy_px, sensitivity=0.2):
+        """FPS mouse-look: left-drag rotates the view direction by
+        (yaw, pitch), pitch clamped to +-89 deg — exactly the reference's
+        mousePositionCallback (main.cpp:382-408)."""
+        import numpy as np_
+
+        cam = renderer.cam
+        yaw, pitch = yaw_pitch_from_view(cam.view)
+        yaw -= dx_px * sensitivity
+        pitch = max(-89.0, min(89.0, pitch + dy_px * sensitivity))
+        dist = float(np_.linalg.norm(np_.asarray(cam.look_at)
+                                     - np_.asarray(cam.position)))
+        front = np_.asarray(view_from_yaw_pitch(yaw, pitch))
+        _retarget(cam.moved(look_at=tuple(
+            np_.asarray(cam.position) + front * max(dist, 1e-3))))
 
     def on_key(event):
         k = event.key
@@ -138,6 +176,27 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
             print(f'"UP": {list(cam.up)},')
 
     fig.canvas.mpl_connect("key_press_event", on_key)
+
+    drag = {"on": False, "x": 0.0, "y": 0.0}
+
+    def on_press(event):
+        if event.button == 1:
+            drag.update(on=True, x=event.x, y=event.y)
+
+    def on_release(event):
+        if event.button == 1:
+            drag["on"] = False
+
+    def on_motion(event):
+        if drag["on"] and event.x is not None:
+            dx, dy = event.x - drag["x"], event.y - drag["y"]
+            drag.update(x=event.x, y=event.y)
+            if dx or dy:
+                look_camera(dx, dy)
+
+    fig.canvas.mpl_connect("button_press_event", on_press)
+    fig.canvas.mpl_connect("button_release_event", on_release)
+    fig.canvas.mpl_connect("motion_notify_event", on_motion)
     handle = ax.imshow(np.zeros((8, 8, 3), np.uint8))
     ax.axis("off")
     plt.ion()
