@@ -9,7 +9,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 31.72 Mpaths/s — the reference wavefront on an RTX 3060 Laptop
 (/root/reference/README.md:46; BASELINE.md).
 
-Env knobs: BENCH_FRAMES (default 3), BENCH_FAST=1 (tiny scene, smoke only).
+Env knobs: BENCH_FRAMES (default 3), BENCH_FAST=1 (tiny scene, smoke only),
+BENCH_BACKEND / BENCH_SPP / BENCH_SORT_EVERY / BENCH_SWEEP_UNROLL /
+BENCH_TREELET_MT (measurement overrides for the config knobs of the same
+name).
 """
 
 import json
@@ -49,7 +52,10 @@ def main() -> int:
     bname = os.environ.get("BENCH_BACKEND")
     if bname:
         backend = RayCastBackend[bname.upper()]
-    data = host.build(with_bvh=True)
+    sweep_unroll = int(os.environ.get("BENCH_SWEEP_UNROLL", "4"))
+    treelet_mt = int(os.environ.get("BENCH_TREELET_MT", "256"))
+    data = host.build(with_bvh=True, treelet_max_tris=treelet_mt,
+                      sweep_chunk_align=max(4, sweep_unroll))
     jax.block_until_ready(data.pack.tri_f32)
     print(f"[bench] scene ready: {host.mesh.num_triangles} tris, "
           f"backend={backend.name} ({time.time() - t0:.1f}s)", file=sys.stderr)
@@ -58,7 +64,9 @@ def main() -> int:
     # 4 samples/pixel per wavefront pool -> richer coherence sort, 1.45x
     # over spp=1; spp=8 OOMs HBM at 1080p).
     spp = int(os.environ.get("BENCH_SPP", "1" if fast else "4"))
-    cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp)
+    sort_every = int(os.environ.get("BENCH_SORT_EVERY", "1"))
+    cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
+                       sort_every=sort_every, sweep_unroll=sweep_unroll)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
     acc_d = Vec3.zeros((n,))

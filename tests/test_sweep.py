@@ -70,6 +70,63 @@ class TestSweepCast:
         assert np.asarray(got.t).min() > 0
 
 
+class TestSweepStaticTrip:
+    def test_one_trip_unroll_matches_brute_force(self, sweep_scene):
+        """chunk_align >= every treelet's chunk count makes all counts
+        equal, and unroll_chunks == max_chunks takes the kernel's static
+        one-trip path (no inner fori) — must stay exact vs brute force."""
+        from tpt.bvh.pallas_sweep import sweep8_closest_hit
+        from tpt.bvh.sweepcast import sweep_cast
+
+        from tpt.bvh.pallas_sweep import sweep8_closest_hit as s8
+
+        host, scene, pack, sweep_def = sweep_scene
+        align = sweep_def.max_chunks  # >= raw chunks of every treelet
+        sweep = sweep_tables(pack, chunk_align=align)
+        assert sweep.max_chunks == align
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(5))
+        n = host.camera.num_pixels
+        t_max = jnp.full((n,), FLT_MAX)
+        ordinal = jnp.arange(n, dtype=jnp.int32) % sweep.num_treelets
+        got = s8(sweep, ori, d, t_max, ordinal, unroll_chunks=align)
+        ref = brute_force_closest_hit(scene.mesh, ori, d, t_max)
+        np.testing.assert_array_equal(np.asarray(got.tri),
+                                      np.asarray(ref.tri))
+        m = np.asarray(ref.tri >= 0)
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-5)
+
+    def test_incompatible_unroll_rejected(self, sweep_scene):
+        from tpt.bvh.pallas_sweep import sweep8_closest_hit
+
+        host, scene, pack, sweep = sweep_scene  # chunk_align=4 table
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(1))
+        n = host.camera.num_pixels
+        ordinal = jnp.zeros((n,), jnp.int32)
+        with pytest.raises(AssertionError):
+            sweep8_closest_hit(sweep, ori, d, jnp.full((n,), FLT_MAX),
+                               ordinal, unroll_chunks=8)
+
+
+class TestSweepUnrollPlumbing:
+    def test_cfg_unroll_and_build_align_match_oracle(self):
+        """cfg.sweep_unroll rides sweep_cast down to the kernel's
+        unroll_chunks, and host.build(sweep_chunk_align=...) builds the
+        matching table — unroll=8 on an align-8 table must stay exact."""
+        from tpt.bvh.sweepcast import sweep_cast
+        from tpt.bvh.traverse import bvh_closest_hit
+
+        host = procedural.cornell_box(resolution=(32, 32), spheres=True)
+        data = host.build(with_bvh=True, sweep_chunk_align=8)
+        assert data.sweep.chunk_align == 8
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(3))
+        t_max = jnp.full((host.camera.num_pixels,), FLT_MAX)
+        got = sweep_cast(data.pack, data.sweep, ori, d, t_max, unroll=8)
+        ref = bvh_closest_hit(data.mesh, data.bvh, ori, d, t_max)
+        np.testing.assert_array_equal(np.asarray(got.tri),
+                                      np.asarray(ref.tri))
+
+
 class TestSweepCast2:
     """Full sweep_cast pipeline (scan -> sort -> demand sweep -> tail)."""
 

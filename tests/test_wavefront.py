@@ -153,6 +153,24 @@ class TestRaySorting:
                                  cfgx.with_(spp_batch=2), iterations=2)
         np.testing.assert_array_equal(bat_x, seq_x)
 
+    def test_sort_cadence_matches_every_bounce(self, monkeypatch):
+        """cfg.sort_every=2 skips the pool sort on alternate bounces
+        (coherence vs fixed sort cost — BENCHMARKS §6); lane order changes
+        but per-lane math is pool-independent and the pixel unsort is
+        exact — including with the adaptive pool, whose dense-prefix
+        bound only tightens on sorted bounces. The skip-sort bounce is a
+        different XLA program, so fusion may contract different FMA
+        chains; allow the same 1-ulp drift as
+        test_sorted_pool_matches_unsorted, nothing more."""
+        monkeypatch.setattr(wavefront, "MIN_POOL", 1024)
+        scene = procedural.cornell_box(resolution=(48, 48), spheres=True)
+        data = scene.build(with_bvh=True)
+        base = RenderConfig(backend=RayCastBackend.BVH_PALLAS, trace_depth=5)
+        a = wavefront.render(data, scene.camera, base, iterations=2)
+        b = wavefront.render(data, scene.camera, base.with_(sort_every=2),
+                             iterations=2)
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=2e-7)
+
     def test_adaptive_pool_matches_fixed(self, monkeypatch):
         """Pool shrinking (per-bounce alive-count readback + prefix-variant
         dispatch) must not change any pixel — the sliced-off tail is

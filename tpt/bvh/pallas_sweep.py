@@ -503,9 +503,15 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
 
             # chunks are host-aligned to unroll_chunks (sweep_tables
             # chunk_align), so the division is exact and never overruns
-            bt, brow, bu, bv = jax.lax.fori_loop(
-                0, jnp.minimum(nchunks, max_chunks) // unroll_chunks,
-                chunk, (bt, brow, bu, bv))
+            if unroll_chunks >= max_chunks:
+                # alignment makes every treelet exactly one trip: skip the
+                # Mosaic while-loop layer (~2 us/iteration of scalar
+                # overhead, BENCHMARKS §6) and issue the body inline
+                bt, brow, bu, bv = chunk(0, (bt, brow, bu, bv))
+            else:
+                bt, brow, bu, bv = jax.lax.fori_loop(
+                    0, jnp.minimum(nchunks, max_chunks) // unroll_chunks,
+                    chunk, (bt, brow, bu, bv))
             bt_ray = jnp.min(bt, axis=0, keepdims=True)
             return next_ord(cur, bt_ray), bt, brow, bu, bv
 
@@ -543,6 +549,16 @@ def sweep8_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
     XLA gather over the [rows] id column)."""
     if not isinstance(ordinal, (tuple, list)):
         ordinal = (ordinal,)
+    # every treelet's chunk count must be a whole number of unrolled
+    # trips, or tail chunks are silently skipped (missed hits). Since
+    # counts are chunk_align multiples, unroll_chunks | chunk_align is
+    # necessary and sufficient — and it also makes the static one-trip
+    # fast path (unroll_chunks >= max_chunks => counts all equal) exact
+    # and in-bounds.
+    assert sweep.chunk_align % unroll_chunks == 0, \
+        (f"unroll_chunks={unroll_chunks} must divide the table's "
+         f"chunk_align={sweep.chunk_align} (rebuild sweep_tables with "
+         f"chunk_align={unroll_chunks})")
     n_planes = len(ordinal)
     demand = entry_t is not None
     rows = 1

@@ -116,11 +116,12 @@ def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tail", "kernel", "tail_prefix"))
+                   static_argnames=("tail", "kernel", "tail_prefix",
+                                    "unroll"))
 def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
                       d: Vec3, t_max: jnp.ndarray, s_o, s_t, thr,
                       tail: bool = True, kernel: str = "sublane",
-                      tail_prefix: int = 0) -> HitRecord:
+                      tail_prefix: int = 0, unroll: int = 4) -> HitRecord:
     """Demand sweep + resolution + compacted tail over a pool that is
     ALREADY sorted by bin_key (same-ordinal lanes adjacent — required
     for performance, not correctness). s_o/s_t are tuples of candidate
@@ -128,8 +129,14 @@ def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
     pool's lane order, e.g. carried through the pool sort as operands).
     Returns hits in the given lane order; dead lanes (t_max <= 0)
     return tri = -1."""
-    cast = sweep8_closest_hit if kernel == "sublane" else sweep_closest_hit
-    hit = cast(sweep, ori, d, t_max, tuple(s_o), tuple(s_t))
+    if kernel == "sublane":
+        # unroll must divide the table's chunk_align (asserted inside);
+        # unroll >= max_chunks takes the kernel's static one-trip path
+        hit = sweep8_closest_hit(sweep, ori, d, t_max, tuple(s_o),
+                                 tuple(s_t), unroll_chunks=unroll)
+    else:
+        hit = sweep_closest_hit(sweep, ori, d, t_max, tuple(s_o),
+                                tuple(s_t))
     best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
     resolved = (thr >= _INF) | (best <= thr)
     if tail:
@@ -144,11 +151,12 @@ def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("slots", "tail", "kernel", "tail_prefix"))
+                   static_argnames=("slots", "tail", "kernel", "tail_prefix",
+                                    "unroll"))
 def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                t_max: jnp.ndarray, slots: int = 4,
                tail: bool = True, kernel: str = "sublane",
-               tail_prefix: int = 0) -> HitRecord:
+               tail_prefix: int = 0, unroll: int = 4) -> HitRecord:
     """Exact closest hit (bit-matches brute force up to equal-t ties) for
     an unsorted ray population; dead lanes (t_max <= 0) return tri=-1.
     kernel: "sublane" (sweep8: 128-ray blocks, 8 tris/VPU-op) or "lane"
@@ -174,7 +182,7 @@ def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
 
     hit = sweep_cast_sorted(pack, sweep, ori_s, d_s, tm, so, st, thr_s,
                             tail=tail, kernel=kernel,
-                            tail_prefix=tail_prefix)
+                            tail_prefix=tail_prefix, unroll=unroll)
 
     # --- unsort ---------------------------------------------------------
     _, t, tri, u, v = jax.lax.sort(

@@ -148,6 +148,7 @@ class SweepTables:
     num_treelets: int = field(metadata=dict(static=True), default=0)
     max_chunks: int = field(metadata=dict(static=True), default=0)
     unroll: int = field(metadata=dict(static=True), default=8)
+    chunk_align: int = field(metadata=dict(static=True), default=4)
 
 
 def _treelet_ranges(pack: PacketBVH):
@@ -225,4 +226,5 @@ def sweep_tables(pack: PacketBVH, unroll: int = 8,
     return SweepTables(
         tri_f32=jnp.asarray(out), ranges=jnp.asarray(ranges),
         boxes=jnp.asarray(boxes8), num_treelets=T,
-        max_chunks=int(chunks.max()), unroll=unroll)
+        max_chunks=int(chunks.max()), unroll=unroll,
+        chunk_align=chunk_align)

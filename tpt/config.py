@@ -104,6 +104,16 @@ class RenderConfig:
     # coherence-key layout: "dir_major" (direction cone on top — packets
     # traverse beams) or "cell_major" (origin locale on top)
     sort_key: str = "dir_major"
+    # pool-sort cadence (BVH_PALLAS split mode): sort bounces 1, 1+k,
+    # 1+2k, ...; skipped bounces reuse the stale order (lanes never move
+    # without a sort, so the adaptive-pool dense-prefix invariant holds
+    # with the last sorted bound). The multi-operand sort is a fixed
+    # ~220 ms/2M-lane per-bounce cost (BENCHMARKS §6) — this trades it
+    # against packet-coherence decay; per-pixel radiance unchanged to
+    # 1 ulp (different XLA programs fuse different FMA chains).
+    # Seeding backends (BVH_SWEEP/BVH_TREELET) need fresh bins and
+    # ignore it.
+    sort_every: int = 1
     # shrink the dispatched path pool as paths die (split mode): the
     # compacting sort leaves live paths in a dense prefix; the host reads
     # one alive-count scalar per bounce and picks a static prefix variant
@@ -136,6 +146,11 @@ class RenderConfig:
     # "lane" (1 tri x 1024 rays); results are identical (tests)
     sweep_slots: int = 4
     sweep_kernel: str = "sublane"
+    # chunks Möller–Trumbore'd per fori iteration in the sublane sweep
+    # kernel (must divide the scene's sweep-table chunk_align —
+    # host.build(sweep_chunk_align=...)); >= the table's max_chunks takes
+    # a static one-trip path with no inner loop
+    sweep_unroll: int = 4
     # two-pass extension cast: first cast with t_max = frac * world
     # diagonal (a bounded per-lane limit collapses the packet's node-visit
     # union — far subtrees fail the slab test for every lane), then

@@ -139,11 +139,13 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                 if sweep_slots is None:
                     return sweep_cast(pack, sweep, o, d, t_max,
                                       slots=cfg.sweep_slots,
-                                      kernel=cfg.sweep_kernel)
+                                      kernel=cfg.sweep_kernel,
+                                      unroll=cfg.sweep_unroll)
                 s_o, s_t, thr = sweep_slots
                 return sweep_cast_sorted(pack, sweep, o, d, t_max,
                                          s_o, s_t, thr,
-                                         kernel=cfg.sweep_kernel)
+                                         kernel=cfg.sweep_kernel,
+                                         unroll=cfg.sweep_unroll)
 
         return Raycaster(
             closest_hit=closest,

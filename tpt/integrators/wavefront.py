@@ -145,7 +145,8 @@ def unsort_by_pixel(pixel_idx, direct: Vec3, indirect: Vec3):
 
 def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                  cfg: RenderConfig, view_proj, prev_view_proj, depth, carry,
-                 first_static: Optional[bool] = None):
+                 first_static: Optional[bool] = None,
+                 sort_this: Optional[bool] = None):
     """One wavefront bounce over the full path pool (shared by the fused
     fori_loop frame, the split per-dispatch execution, and the shard_map
     multi-chip step — lane count comes from the carry, so a per-device
@@ -161,6 +162,8 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
     from ..config import RayCastBackend
 
     do_sort = cfg.sort_bounce_rays and cfg.backend.is_packet
+    if sort_this is False:  # cfg.sort_every cadence (split mode only)
+        do_sort = False
 
     if True:  # keep original indentation of the bounce body
         (ori, direction, throughput, last_pdf, state, alive,
@@ -648,7 +651,7 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
                                                 camv.view_proj, prev_vp,
                                                 carry)
                 alive_count = int(_np.asarray(alive_scalar))
-                if depth >= 1:  # this bounce sorted: live now in a prefix
+                if bounce_fn.sorted_at(depth):  # live now in a dense prefix
                     compact_bound = entry_count
             for tail in reversed(tails):
                 carry = jax.tree_util.tree_map(
@@ -703,13 +706,39 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                            first_static=False)
         return out, jnp.sum(out[5].astype(jnp.int32))
 
-    def one_bounce(depth, view_proj, prev_view_proj, carry):
-        if int(depth) == 0:
-            return bounce_first(view_proj, prev_view_proj, carry)
-        return bounce_rest(jnp.int32(depth), view_proj, prev_view_proj,
-                           carry)
+    # sort-cadence variant (cfg.sort_every > 1): identical bounce, pool
+    # sort skipped. Only for the plain packet backend — seeding backends
+    # fold their bin key into the sort and need it fresh every bounce.
+    from ..config import RayCastBackend
 
-    one_bounce._jit_fns = (bounce_first, bounce_rest)
+    se = max(1, cfg.sort_every)
+    cadence_on = se > 1 and cfg.backend == RayCastBackend.BVH_PALLAS
+
+    @jax.jit
+    def bounce_rest_nosort(depth, view_proj, prev_view_proj, carry):
+        out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                           prev_view_proj, depth, carry,
+                           first_static=False, sort_this=False)
+        return out, jnp.sum(out[5].astype(jnp.int32))
+
+    def sorted_at(depth: int) -> bool:
+        """Does bounce `depth` run the compacting pool sort? (Drives the
+        adaptive pool: the dense-prefix bound only tightens on sorted
+        bounces.)"""
+        return depth >= 1 and (not cadence_on or (depth - 1) % se == 0)
+
+    def one_bounce(depth, view_proj, prev_view_proj, carry):
+        d = int(depth)
+        if d == 0:
+            return bounce_first(view_proj, prev_view_proj, carry)
+        if sorted_at(d):
+            return bounce_rest(jnp.int32(depth), view_proj, prev_view_proj,
+                               carry)
+        return bounce_rest_nosort(jnp.int32(depth), view_proj,
+                                  prev_view_proj, carry)
+
+    one_bounce.sorted_at = sorted_at
+    one_bounce._jit_fns = (bounce_first, bounce_rest, bounce_rest_nosort)
     return one_bounce
 
 

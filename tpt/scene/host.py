@@ -67,7 +67,8 @@ class HostScene:
     def build(self, with_bvh: bool = False, bvh_builder: str = "auto",
               max_cluster: int = 16, packet_arity: int = 4,
               stream_tris: "bool | str" = "auto",
-              treelet_max_tris: int = 256) -> SceneData:
+              treelet_max_tris: int = 256,
+              sweep_chunk_align: int = 4) -> SceneData:
         """Upload everything to device pytrees; optionally build the BVH.
 
         bvh_builder: "sah" (native C++ binned SAH — better traversal),
@@ -172,6 +173,6 @@ class HostScene:
                 from ..bvh.treelet import attach_treelets, sweep_tables
 
                 pack = attach_treelets(pack, max_tris=treelet_max_tris)
-                sweep = sweep_tables(pack)
+                sweep = sweep_tables(pack, chunk_align=sweep_chunk_align)
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
                          env=env, bvh=bvh, pack=pack, sweep=sweep)
