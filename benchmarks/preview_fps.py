@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Interactive-navigation preview rate (viewer.py C15 story): frames/s of
+the low-res preview engine while the camera moves every frame, plus the
+full-res re-accumulation frame that runs when the camera rests.
+
+The reference's viewer re-renders full frames interactively on GPU
+(/root/reference/src/preview.cpp:175-198); tpt's viewer navigates on a
+1/scale-resolution engine with zero-recompile camera retargets
+(CamArrays runtime args) and re-accumulates at full res on rest. This
+measures whether navigation is actually interactive on a v5e.
+
+Prints one JSON line per preview scale:
+  {"metric": "preview_fps s<scale>", "value": fps, ...}
+
+Env: PF_RES (1920x1080), PF_TRIS (143000), PF_DEPTH (3 — the viewer's
+navigation depth), PF_SCALES ("4 6 8"), PF_FRAMES (20).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from tpt.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from tpt.config import RayCastBackend, RenderConfig
+    from tpt.engine import Renderer
+    from tpt.scene import procedural
+    from tpt.viewer import make_preview_renderer, view_from_yaw_pitch, \
+        yaw_pitch_from_view
+
+    res = tuple(int(x)
+                for x in os.environ.get("PF_RES", "1920x1080").split("x"))
+    tris = int(os.environ.get("PF_TRIS", "143000"))
+    depth = int(os.environ.get("PF_DEPTH", "3"))
+    scales = [int(s) for s in os.environ.get("PF_SCALES", "4 6 8").split()]
+    frames = int(os.environ.get("PF_FRAMES", "20"))
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = (RayCastBackend.BVH_PALLAS if on_tpu
+               else RayCastBackend.BVH_XLA)
+
+    t0 = time.time()
+    host = procedural.fireplace_like(num_triangles=tris, resolution=res)
+    scene = host.build(with_bvh=True)
+    print(f"[pf] scene ready ({time.time() - t0:.0f}s)", file=sys.stderr)
+
+    cfg = RenderConfig(backend=backend, trace_depth=depth)
+    full = Renderer(scene, host.camera, cfg)
+
+    for scale in scales:
+        prev = make_preview_renderer(full, scale=scale)
+        yaw, pitch = yaw_pitch_from_view(
+            np.asarray(host.camera.view, np.float64))
+
+        t0 = time.time()
+        img = prev.frame()
+        print(f"[pf] s{scale} first preview frame (compile) "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+
+        # navigate: mouse-look retarget EVERY frame (reset + 1-spp frame,
+        # the viewer's exact hot path)
+        ts = []
+        for i in range(frames):
+            t1 = time.time()
+            v = view_from_yaw_pitch(yaw + (i + 1) * 0.5, pitch)
+            prev.move_camera(prev.cam.moved(
+                look_at=tuple(np.asarray(prev.cam.position)
+                              + np.asarray(v))))
+            img = prev.frame()
+            ts.append(time.time() - t1)
+        ms = float(np.median(ts)) * 1e3
+        assert np.isfinite(img).all()
+        print(json.dumps({
+            "metric": f"preview_nav_frame s{scale} "
+                      f"{res[0] // scale}x{res[1] // scale} d{depth}",
+            "value": round(ms, 1), "unit": "ms",
+            "fps": round(1e3 / ms, 1),
+        }))
+        sys.stdout.flush()
+
+    # the rest state: one full-res accumulation frame
+    t0 = time.time()
+    full.frame()
+    print(f"[pf] full-res frame (compile) {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    full.frame()
+    print(json.dumps({
+        "metric": f"fullres_accum_frame {res[0]}x{res[1]} d{depth}",
+        "value": round((time.time() - t0) * 1e3, 1), "unit": "ms",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,9 +75,6 @@ class TestSweepStaticTrip:
         """chunk_align >= every treelet's chunk count makes all counts
         equal, and unroll_chunks == max_chunks takes the kernel's static
         one-trip path (no inner fori) — must stay exact vs brute force."""
-        from tpt.bvh.pallas_sweep import sweep8_closest_hit
-        from tpt.bvh.sweepcast import sweep_cast
-
         from tpt.bvh.pallas_sweep import sweep8_closest_hit as s8
 
         host, scene, pack, sweep_def = sweep_scene
