@@ -12,6 +12,8 @@ measures whether navigation is actually interactive on a v5e.
 Prints one JSON line per preview scale:
   {"metric": "preview_fps s<scale>", "value": fps, ...}
 
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/preview_fps.py
+
 Env: PF_RES (1920x1080), PF_TRIS (143000), PF_DEPTH (3 — the viewer's
 navigation depth), PF_SCALES ("4 6 8"), PF_FRAMES (20).
 """
@@ -66,22 +68,27 @@ def main():
         print(f"[pf] s{scale} first preview frame (compile) "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-        # navigate: mouse-look retarget EVERY frame (reset + 1-spp frame,
-        # the viewer's exact hot path)
+        # navigate: mouse-look retarget EVERY frame — the viewer's exact
+        # hot path per viewer.py:_retarget: BOTH engines re-target (the
+        # full-res engine's move includes its reset() allocation), then
+        # one preview frame renders
         ts = []
         for i in range(frames):
             t1 = time.time()
             v = view_from_yaw_pitch(yaw + (i + 1) * 0.5, pitch)
-            prev.move_camera(prev.cam.moved(
-                look_at=tuple(np.asarray(prev.cam.position)
-                              + np.asarray(v))))
+            moved = full.cam.moved(
+                look_at=tuple(np.asarray(full.cam.position)
+                              + np.asarray(v)))
+            full.move_camera(moved)
+            prev.move_camera(prev.cam.moved(position=moved.position,
+                                            look_at=moved.look_at))
             img = prev.frame()
+            assert np.isfinite(img).all(), f"non-finite frame {i}"
             ts.append(time.time() - t1)
         ms = float(np.median(ts)) * 1e3
-        assert np.isfinite(img).all()
+        pw, ph = prev.cam.resolution
         print(json.dumps({
-            "metric": f"preview_nav_frame s{scale} "
-                      f"{res[0] // scale}x{res[1] // scale} d{depth}",
+            "metric": f"preview_nav_frame s{scale} {pw}x{ph} d{depth}",
             "value": round(ms, 1), "unit": "ms",
             "fps": round(1e3 / ms, 1),
         }))
