@@ -181,6 +181,16 @@ def main():
                                         .astype(jnp.float32)))
             tail_tm = jnp.where(resolved, 0.0, jnp.minimum(best, tms))
             _, t_tail = timed(tail_j, os_, ds_, tail_tm)
+            # production tail: compacted-prefix cast, both compaction
+            # flavors (SWK_TAILC=0 to skip)
+            t_tailc = {}
+            if os.environ.get("SWK_TAILC", "1") == "1":
+                from tpt.bvh.sweepcast import _tail_compact_cast
+                for meth in ("scatter", "sort"):
+                    f = jax.jit(lambda o, d, r, t, _m=meth:
+                                _tail_compact_cast(pack, o, d, hit, r, t,
+                                                   0, compact=_m))
+                    _, t_tailc[meth] = timed(f, os_, ds_, resolved, tail_tm)
             _, t_full = timed(full_j, o, d, tm)
             _, t_ctrl = timed(ctrl_j, o, d, tm)
             row = dict(mt=mt, pop=name, live=round(live, 3),
@@ -190,6 +200,8 @@ def main():
                        **{f"sweep8_u{u}_ms": round(v, 2)
                           for u, v in t8.items()},
                        tail_ms=round(t_tail, 2),
+                       **{f"tailc_{m}_ms": round(v, 2)
+                          for m, v in t_tailc.items()},
                        full_ms=round(t_full, 2), ctrl_ms=round(t_ctrl, 2),
                        full_mrays=round(nn * live / t_full / 1e3, 2),
                        ctrl_mrays=round(nn * live / t_ctrl / 1e3, 2),

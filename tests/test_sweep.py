@@ -194,6 +194,27 @@ class TestSweepCast2:
                                    np.minimum(np.asarray(ref.t), FLT_MAX)[m],
                                    rtol=1e-4)
 
+    def test_tail_compact_methods_bit_identical(self, sweep_scene):
+        """The scatter compaction (cumsum + one index scatter) and the
+        sort compaction must produce the same hits — both exact vs brute
+        force. slots=1 leaves a large unresolved tail so the prefix path
+        actually runs."""
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = self._bounce_rays(host, scene, seed=23)
+        got_sc = sweep_cast(pack, sweep, o2, nd, t_max, slots=1,
+                            tail_compact="scatter")
+        got_so = sweep_cast(pack, sweep, o2, nd, t_max, slots=1,
+                            tail_compact="sort")
+        np.testing.assert_array_equal(np.asarray(got_sc.tri),
+                                      np.asarray(got_so.tri))
+        np.testing.assert_array_equal(np.asarray(got_sc.t),
+                                      np.asarray(got_so.t))
+        ref = brute_force_closest_hit(scene.mesh, o2, nd,
+                                      jnp.where(t_max > 0, t_max, 0.0))
+        ref_tri = np.where(np.asarray(t_max) > 0, np.asarray(ref.tri), -1)
+        np.testing.assert_array_equal(np.asarray(got_sc.tri), ref_tri)
+
     def test_tail_overflow_fallback(self, sweep_scene):
         """slots=1 leaves many lanes unresolved; a tiny tail_prefix forces
         the full-pool fallback branch of the lax.cond — results must still

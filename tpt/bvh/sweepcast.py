@@ -76,17 +76,49 @@ def bin_key(s_o, d: Vec3, T: int, slots: int) -> jnp.ndarray:
 
 def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,
                        hit: HitRecord, resolved, tail_tm,
-                       tail_prefix: int) -> HitRecord:
+                       tail_prefix: int,
+                       compact: str = "scatter") -> HitRecord:
     """Wide-kernel tail over the unresolved minority, returned in the
-    CALLER's lane order. Compacts unresolved lanes to a dense prefix
-    (9-operand sort), casts a static prefix, and scatters the winners
-    back; overflow falls back to a full-pool cast in place (lax.cond)."""
+    CALLER's lane order. Compacts unresolved lanes to a dense prefix,
+    casts a static prefix, and scatters the winners back; overflow falls
+    back to a full-pool cast in place (lax.cond).
+
+    compact="scatter" (default): cumsum destinations + ONE int32 index
+    scatter + P-sized gathers of the 8 ray planes — the pool-wide work is
+    a single scatter instead of the 9-operand full-pool lax.sort of
+    compact="sort" (kept for A/B; lane order inside the prefix is the
+    pool order either way, preserving the caller's bin coherence)."""
     n = ori.x.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    n_unres = jnp.sum((~resolved).astype(jnp.int32))
+    unres = ~resolved
+    n_unres = jnp.sum(unres.astype(jnp.int32))
     P = min(n, tail_prefix or max(16384, n // 32))
 
-    def prefix_cast(_):
+    def prefix_cast_scatter(_):
+        # destination slot per unresolved lane, in pool order; resolved
+        # lanes target the sentinel row P (sliced off). Overflow slots
+        # (dst > P under the cond's n_unres <= P guard can't happen, but
+        # the branch still traces) drop.
+        dst = jnp.where(unres, jnp.cumsum(unres.astype(jnp.int32)) - 1, P)
+        tail_idx = jnp.zeros((P + 1,), jnp.int32).at[dst].set(
+            pos, mode="drop")
+        ti = tail_idx[:P]
+        live_slot = jnp.arange(P, dtype=jnp.int32) < n_unres
+        g = lambda a: jnp.take(a, ti)
+        # unfilled slots alias lane 0 — kill them via t_max <= 0
+        tm_g = jnp.where(live_slot, g(tail_tm), 0.0)
+        th = packet_closest_hit_wide(
+            pack, Vec3(g(ori.x), g(ori.y), g(ori.z)),
+            Vec3(g(d.x), g(d.y), g(d.z)), tm_g, t_cull=True)
+        win = (th.tri >= 0) & live_slot
+        # only winners write (unfilled slots alias lane 0 — a plain
+        # write-back would race lane 0's real winner on duplicate indices)
+        ti_w = jnp.where(win, ti, n)
+        merge = lambda cur, new: cur.at[ti_w].set(new, mode="drop")
+        return (merge(hit.t, th.t), merge(hit.tri, th.tri),
+                merge(hit.u, th.u), merge(hit.v, th.v))
+
+    def prefix_cast_sort(_):
         ckey = jnp.where(resolved, pos + n, pos)
         (_, ox2, oy2, oz2, dx2, dy2, dz2, tm2, pos2) = jax.lax.sort(
             (ckey, ori.x, ori.y, ori.z, d.x, d.y, d.z, tail_tm, pos),
@@ -101,6 +133,9 @@ def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,
             jnp.where(win, new, cur[pp]))
         return (merge(hit.t, th.t), merge(hit.tri, th.tri),
                 merge(hit.u, th.u), merge(hit.v, th.v))
+
+    prefix_cast = (prefix_cast_scatter if compact == "scatter"
+                   else prefix_cast_sort)
 
     def full_cast(_):
         th = packet_closest_hit_wide(pack, ori, d, tail_tm, t_cull=True)
@@ -117,11 +152,12 @@ def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,
 
 @functools.partial(jax.jit,
                    static_argnames=("tail", "kernel", "tail_prefix",
-                                    "unroll"))
+                                    "unroll", "tail_compact"))
 def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
                       d: Vec3, t_max: jnp.ndarray, s_o, s_t, thr,
                       tail: bool = True, kernel: str = "sublane",
-                      tail_prefix: int = 0, unroll: int = 4) -> HitRecord:
+                      tail_prefix: int = 0, unroll: int = 4,
+                      tail_compact: str = "scatter") -> HitRecord:
     """Demand sweep + resolution + compacted tail over a pool that is
     ALREADY sorted by bin_key (same-ordinal lanes adjacent — required
     for performance, not correctness). s_o/s_t are tuples of candidate
@@ -142,7 +178,7 @@ def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
     if tail:
         tail_tm = jnp.where(resolved, 0.0, jnp.minimum(best, t_max))
         return _tail_compact_cast(pack, ori, d, hit, resolved, tail_tm,
-                                  tail_prefix)
+                                  tail_prefix, compact=tail_compact)
     # sound-subset contract: an unresolved lane's sweep best may not be
     # the global closest — report it as a miss instead of a hit
     return HitRecord(t=jnp.where(resolved, hit.t, FLT_MAX),
@@ -152,11 +188,12 @@ def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
 
 @functools.partial(jax.jit,
                    static_argnames=("slots", "tail", "kernel", "tail_prefix",
-                                    "unroll"))
+                                    "unroll", "tail_compact"))
 def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                t_max: jnp.ndarray, slots: int = 4,
                tail: bool = True, kernel: str = "sublane",
-               tail_prefix: int = 0, unroll: int = 4) -> HitRecord:
+               tail_prefix: int = 0, unroll: int = 4,
+               tail_compact: str = "scatter") -> HitRecord:
     """Exact closest hit (bit-matches brute force up to equal-t ties) for
     an unsorted ray population; dead lanes (t_max <= 0) return tri=-1.
     kernel: "sublane" (sweep8: 128-ray blocks, 8 tris/VPU-op) or "lane"
@@ -182,7 +219,8 @@ def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
 
     hit = sweep_cast_sorted(pack, sweep, ori_s, d_s, tm, so, st, thr_s,
                             tail=tail, kernel=kernel,
-                            tail_prefix=tail_prefix, unroll=unroll)
+                            tail_prefix=tail_prefix, unroll=unroll,
+                            tail_compact=tail_compact)
 
     # --- unsort ---------------------------------------------------------
     _, t, tri, u, v = jax.lax.sort(

@@ -151,6 +151,9 @@ class RenderConfig:
     # host.build(sweep_chunk_align=...)); >= the table's max_chunks takes
     # a static one-trip path with no inner loop
     sweep_unroll: int = 4
+    # tail-prefix compaction: "scatter" (cumsum + one int32 scatter +
+    # P-row gathers) or "sort" (9-operand full-pool lax.sort; A/B knob)
+    sweep_tail_compact: str = "scatter"
     # two-pass extension cast: first cast with t_max = frac * world
     # diagonal (a bounded per-lane limit collapses the packet's node-visit
     # union — far subtrees fail the slab test for every lane), then

@@ -140,12 +140,14 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                     return sweep_cast(pack, sweep, o, d, t_max,
                                       slots=cfg.sweep_slots,
                                       kernel=cfg.sweep_kernel,
-                                      unroll=cfg.sweep_unroll)
+                                      unroll=cfg.sweep_unroll,
+                                      tail_compact=cfg.sweep_tail_compact)
                 s_o, s_t, thr = sweep_slots
                 return sweep_cast_sorted(pack, sweep, o, d, t_max,
                                          s_o, s_t, thr,
                                          kernel=cfg.sweep_kernel,
-                                         unroll=cfg.sweep_unroll)
+                                         unroll=cfg.sweep_unroll,
+                                         tail_compact=cfg.sweep_tail_compact)
 
         return Raycaster(
             closest_hit=closest,
