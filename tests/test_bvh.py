@@ -144,6 +144,69 @@ class TestRenderParity:
         assert close > 0.995, close
         np.testing.assert_allclose(img_bvh.mean(), img_bf.mean(), rtol=0.02)
 
+    def test_backend_disagreements_are_geometric_ties(self):
+        """AUDIT of the tie-break allowance the image-level tolerances
+        rest on: every primary-ray lane where the Pallas packet kernel
+        and the XLA oracle name different triangles must be a genuine
+        near-tie — a dense numpy Möller–Trumbore (same epsilons) must
+        show both reported hits within 1e-4 of the true closest t. If a
+        real traversal bug ever drops a node, the winning backend's t
+        diverges from the dense minimum and this fails loudly."""
+        from tpt.bvh.pack import build_packet_bvh_wide
+        from tpt.bvh.pallas_traverse import packet_closest_hit_wide
+        from tpt.core.camera import generate_camera_rays
+        from tpt.integrators.intersect import FLT_MAX
+
+        scene = procedural.cornell_box(resolution=(48, 48), spheres=True)
+        data = scene.build(with_bvh=True)
+        mesh = data.mesh
+        cam = scene.camera
+        ori, d, _ = generate_camera_rays(cam, jnp.uint32(1))
+        tmax = jnp.full((cam.num_pixels,), FLT_MAX)
+
+        hx = bvh_closest_hit(mesh, data.bvh, ori, d, tmax)
+        pack = build_packet_bvh_wide(mesh, data.bvh, max_cluster=16, arity=4)
+        hp = packet_closest_hit_wide(pack, ori, d, tmax)
+
+        # dense [R, T] intersection t-matrix (numpy, kernel epsilons)
+        P = np.stack([np.asarray(mesh.positions.x),
+                      np.asarray(mesh.positions.y),
+                      np.asarray(mesh.positions.z)], -1).astype(np.float64)
+        i0 = np.asarray(mesh.i0)
+        i1 = np.asarray(mesh.i1)
+        i2 = np.asarray(mesh.i2)
+        v0, e1, e2 = P[i0], P[i1] - P[i0], P[i2] - P[i0]
+        O = np.stack([np.asarray(ori.x), np.asarray(ori.y),
+                      np.asarray(ori.z)], -1).astype(np.float64)
+        D = np.stack([np.asarray(d.x), np.asarray(d.y),
+                      np.asarray(d.z)], -1).astype(np.float64)
+        pv = np.cross(D[:, None, :], e2[None, :, :])
+        det = np.einsum("tk,rtk->rt", e1, pv)
+        ok = np.abs(det) > 1e-9
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tv = O[:, None, :] - v0[None, :, :]
+        u = np.einsum("rtk,rtk->rt", tv, pv) * inv
+        qv = np.cross(tv, e1[None, :, :])
+        v = np.einsum("rk,rtk->rt", D, qv) * inv
+        t = np.einsum("tk,rtk->rt", e2, qv) * inv
+        valid = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) \
+            & (t > 1e-4)
+        t_dense = np.where(valid, t, np.inf)
+        t_best = t_dense.min(axis=1)
+
+        tri_x = np.asarray(hx.tri)
+        tri_p = np.asarray(hp.tri)
+        np.testing.assert_array_equal(tri_x >= 0, tri_p >= 0)
+        dis = np.nonzero((tri_x != tri_p) & (tri_x >= 0))[0]
+        # sanity: SOME pixels must hit, and disagreements stay rare
+        assert (tri_x >= 0).any()
+        assert dis.size <= 0.01 * tri_x.size, dis.size
+        for r in dis:
+            tb = t_best[r]
+            assert np.isfinite(tb)
+            assert abs(float(np.asarray(hx.t)[r]) - tb) <= 1e-4 * max(1.0, tb)
+            assert abs(float(np.asarray(hp.t)[r]) - tb) <= 1e-4 * max(1.0, tb)
+
 
 if __name__ == "__main__":
     import sys
