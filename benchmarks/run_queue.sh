@@ -48,4 +48,7 @@ run bench_wide2 5400 python bench.py
 run bench_se2 5400 env BENCH_SORT_EVERY=2 python bench.py
 run bench_se3 5400 env BENCH_SORT_EVERY=3 python bench.py
 
+# 7. Veach MIS showcase render (radiometric-parity image)
+run veach 3600 python benchmarks/render_veach.py
+
 echo "QUEUE DONE $(date -u)" | tee -a /tmp/q_status.log
