@@ -11,8 +11,8 @@ Baseline: 31.72 Mpaths/s — the reference wavefront on an RTX 3060 Laptop
 
 Env knobs: BENCH_FRAMES (default 3), BENCH_FAST=1 (tiny scene, smoke only),
 BENCH_BACKEND / BENCH_SPP / BENCH_SORT_EVERY / BENCH_SWEEP_UNROLL /
-BENCH_TREELET_MT (measurement overrides for the config knobs of the same
-name).
+BENCH_TREELET_MT / BENCH_SWEEP_SHADOW (measurement overrides for the
+config knobs of the same name).
 """
 
 import json
@@ -65,8 +65,10 @@ def main() -> int:
     # over spp=1; spp=8 OOMs HBM at 1080p).
     spp = int(os.environ.get("BENCH_SPP", "1" if fast else "4"))
     sort_every = int(os.environ.get("BENCH_SORT_EVERY", "1"))
+    sweep_shadow = os.environ.get("BENCH_SWEEP_SHADOW") == "1"
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
-                       sort_every=sort_every, sweep_unroll=sweep_unroll)
+                       sort_every=sort_every, sweep_unroll=sweep_unroll,
+                       sweep_shadow=sweep_shadow)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
     acc_d = Vec3.zeros((n,))

@@ -170,7 +170,12 @@ def main():
                 f = jax.jit(lambda o, d, t, so, st_, _sw=sw_u, _u=u:
                             sweep8_closest_hit(_sw, o, d, t, so, st_,
                                                unroll_chunks=_u))
-                _, t8[u] = timed(f, os_, ds_, tms, so_s, st_s)
+                try:
+                    _, t8[u] = timed(f, os_, ds_, tms, so_s, st_s)
+                except Exception as e:  # VMEM OOM at big unrolls: skip
+                    print(f"[swk] unroll={u} failed: "
+                          f"{str(e).splitlines()[0][:160]}", file=sys.stderr)
+                    t8[u] = -1.0
             t_sweep8 = t8[unrolls[0]]
             best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
             resolved = (thr_s >= _INF) | (best <= thr_s)

@@ -315,3 +315,80 @@ class TestDenseScan:
                                    rtol=1e-6)
         # dense thr is exact, tree thr conservative: dense >= tree - eps
         assert (np.asarray(dthr) >= np.asarray(tthr) - 1e-5).all()
+
+
+class TestSweepAnyHit:
+    """Occlusion via the sweep pipeline (sweepcast.sweep_any_hit): must
+    reproduce the brute-force contract exactly — True iff some triangle
+    blocks [EPS, t_max - 1e-3)."""
+
+    def _shadow_segments(self, host, scene, sweep, seed=7):
+        """Shadow-like segments: bounce origins -> a fixed point near the
+        scene's bbox top (a light stand-in); t_max = segment length."""
+        from tpt.integrators.intersect import brute_force_any_hit  # noqa: F401
+
+        o2, _, t_alive = TestSweepCast2._bounce_rays(
+            TestSweepCast2(), host, scene, seed=seed)
+        boxes = np.asarray(sweep.boxes[:, :6])
+        lo = boxes[:, :3].min(0)
+        hi = boxes[:, 3:6].max(0)
+        lp = jnp.asarray([(lo[0] + hi[0]) / 2,
+                          lo[1] + 0.9 * (hi[1] - lo[1]),
+                          (lo[2] + hi[2]) / 2], jnp.float32)
+        tx, ty, tz = lp[0] - o2.x, lp[1] - o2.y, lp[2] - o2.z
+        dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+        inv = 1.0 / jnp.maximum(dist, 1e-20)
+        wi = Vec3(tx * inv, ty * inv, tz * inv)
+        t_max = jnp.where(t_alive > 0, dist, -1.0)
+        return o2, wi, t_max
+
+    def _check(self, scene, pack, sweep, o2, wi, t_max, **kw):
+        from tpt.bvh.sweepcast import sweep_any_hit
+        from tpt.integrators.intersect import brute_force_any_hit
+
+        got = sweep_any_hit(pack, sweep, o2, wi, t_max, **kw)
+        ref = brute_force_any_hit(scene.mesh, o2, wi, t_max)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        assert np.asarray(got).any()          # some segments occluded
+        assert not np.asarray(got).all()      # some reach the target
+
+    def test_matches_brute_force(self, sweep_scene):
+        host, scene, pack, sweep = sweep_scene
+        o2, wi, t_max = self._shadow_segments(host, scene, sweep)
+        self._check(scene, pack, sweep, o2, wi, t_max)
+
+    def test_lane_kernel_matches(self, sweep_scene):
+        host, scene, pack, sweep = sweep_scene
+        o2, wi, t_max = self._shadow_segments(host, scene, sweep, seed=11)
+        self._check(scene, pack, sweep, o2, wi, t_max, kernel="lane")
+
+    def test_forced_tail(self, sweep_scene):
+        """slots=1 leaves many lanes unresolved -> the compacted prefix
+        any-hit tail must finish them exactly."""
+        host, scene, pack, sweep = sweep_scene
+        o2, wi, t_max = self._shadow_segments(host, scene, sweep, seed=23)
+        self._check(scene, pack, sweep, o2, wi, t_max, slots=1)
+
+    def test_overflow_fallback(self, sweep_scene):
+        """Tiny tail_prefix forces the full-pool any-hit fallback branch."""
+        host, scene, pack, sweep = sweep_scene
+        o2, wi, t_max = self._shadow_segments(host, scene, sweep, seed=17)
+        self._check(scene, pack, sweep, o2, wi, t_max, slots=1,
+                    tail_prefix=128)
+
+    def test_render_shadow_parity(self):
+        """Full wavefront render: sweep_shadow=True must reproduce the
+        wide-kernel shadow path bit-for-bit (both occlusion queries are
+        exact and share the Moller-Trumbore epsilons)."""
+        import tpt
+        from tpt.integrators import wavefront
+        from tpt.scene import procedural as proc
+
+        host = proc.cornell_box(resolution=(24, 24), spheres=True)
+        scene = host.build(with_bvh=True, treelet_max_tris=256)
+        cfg_w = tpt.RenderConfig(backend=tpt.RayCastBackend.BVH_SWEEP,
+                                 trace_depth=3, iterations=2)
+        cfg_s = cfg_w.with_(sweep_shadow=True)
+        img_w = wavefront.render(scene, host.camera, cfg_w)
+        img_s = wavefront.render(scene, host.camera, cfg_s)
+        np.testing.assert_allclose(img_s, img_w, atol=1e-6)

@@ -44,7 +44,8 @@ NONE_ORD = 0x7FFFFF
 
 
 def _make_sweep_kernel(num_treelets: int, unroll: int, max_chunks: int,
-                       n_planes: int = 1, demand: bool = False):
+                       n_planes: int = 1, demand: bool = False,
+                       any_hit: bool = False):
     """Kernel over one [8,128] ray block: sweep each distinct requested
     treelet's full triangle range, keep the per-lane closest hit. With
     n_planes > 1 each lane requests several candidate treelets (ordinal
@@ -132,7 +133,12 @@ def _make_sweep_kernel(num_treelets: int, unroll: int, max_chunks: int,
             bt, btri, bu, bv = jax.lax.fori_loop(
                 0, jnp.minimum(nchunks, max_chunks), chunk,
                 (bt, btri, bu, bv))
-            return next_ord(cur, bt), bt, btri, bu, bv
+            bt_dem = bt
+            if any_hit:
+                # occlusion query: a hit inside [., t_max - 1e-3) answers
+                # the lane — drop all remaining slots (see sweep8 kernel)
+                bt_dem = jnp.where(bt < tmax - 1e-3, -3.4e38, bt)
+            return next_ord(cur, bt_dem), bt, btri, bu, bv
 
         _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
             sweep_cond, sweep_body,
@@ -158,9 +164,10 @@ def _tile(a, rows, fill=0):
     return a.reshape(nt, rows, LANES), nt, n
 
 
-@functools.partial(jax.jit, static_argnames=("unroll",))
+@functools.partial(jax.jit, static_argnames=("unroll", "any_hit"))
 def sweep_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
-                      ordinal, entry_t=None, unroll: int = 8) -> HitRecord:
+                      ordinal, entry_t=None, unroll: int = 8,
+                      any_hit: bool = False) -> HitRecord:
     """Closest hit where lane i tests ONLY its requested treelets'
     triangle ranges (plus any other ordinals present in its 1024-lane
     block — free extra coverage, still exact). `ordinal` is one int32
@@ -195,7 +202,7 @@ def sweep_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
             ogs.append(sg)
 
     kernel = _make_sweep_kernel(sweep.num_treelets, unroll,
-                                sweep.max_chunks, n_planes, demand)
+                                sweep.max_chunks, n_planes, demand, any_hit)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -417,7 +424,7 @@ def _mt_chunk(block, ox, oy, oz, dx, dy, dz):
 
 
 def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
-                       demand: bool):
+                       demand: bool, any_hit: bool = False):
     """Sweep kernel over a [1,128] ray block. vs _make_sweep_kernel:
 
     - 8x finer union granularity: each sweep serves 128 rays instead of
@@ -513,6 +520,14 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
                     0, jnp.minimum(nchunks, max_chunks) // unroll_chunks,
                     chunk, (bt, brow, bu, bv))
             bt_ray = jnp.min(bt, axis=0, keepdims=True)
+            if any_hit:
+                # occlusion query: a hit strictly inside the segment
+                # [., t_max - 1e-3) (the any-hit kernels' endpoint margin,
+                # pallas_traverse.py) answers the lane — demand-drop ALL
+                # remaining slots by forcing its budget below every entry.
+                # Hits in the margin zone keep refining: a closer slot
+                # could still produce an occluding t.
+                bt_ray = jnp.where(bt_ray < tmax - 1e-3, -3.4e38, bt_ray)
             return next_ord(cur, bt_ray), bt, brow, bu, bv
 
         _, best_t, best_row, best_u, best_v = jax.lax.while_loop(
@@ -539,10 +554,11 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("unroll_chunks",))
+@functools.partial(jax.jit, static_argnames=("unroll_chunks", "any_hit"))
 def sweep8_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
                        ordinal, entry_t=None,
-                       unroll_chunks: int = 4) -> HitRecord:
+                       unroll_chunks: int = 4,
+                       any_hit: bool = False) -> HitRecord:
     """Sublane-parallel variant of sweep_closest_hit: [1,128] ray blocks,
     8 triangles per VPU op. Returns packed-table row ids translated back
     to original triangle ids on the host side of the kernel (one cheap
@@ -582,7 +598,7 @@ def sweep8_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
             ogs.append(sg)
 
     kernel = _make_sweep8_kernel(unroll_chunks, sweep.max_chunks, n_planes,
-                                 demand)
+                                 demand, any_hit)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -55,7 +55,7 @@ from ..integrators.intersect import FLT_MAX, HitRecord
 from .pack import PacketBVH
 from .pallas_sweep import (NONE_ORD, dense_scan, sweep8_closest_hit,
                            sweep_closest_hit)
-from .pallas_traverse import packet_closest_hit_wide
+from .pallas_traverse import packet_any_hit_wide, packet_closest_hit_wide
 from .pallas_treelet import _INF
 from .treelet import SweepTables
 
@@ -184,6 +184,81 @@ def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
     return HitRecord(t=jnp.where(resolved, hit.t, FLT_MAX),
                      tri=jnp.where(resolved, hit.tri, -1),
                      u=hit.u, v=hit.v)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("slots", "kernel", "tail_prefix",
+                                    "unroll", "group", "node_pops",
+                                    "cluster_pops"))
+def sweep_any_hit(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
+                  t_max: jnp.ndarray, slots: int = 4,
+                  kernel: str = "sublane", tail_prefix: int = 0,
+                  unroll: int = 4, group: int = 2, node_pops: int = 4,
+                  cluster_pops: int = 4) -> jnp.ndarray:
+    """Occlusion query via the sweep pipeline: True where the segment
+    [EPS, t_max - 1e-3) is blocked (the brute/packet any-hit contract).
+    Dead lanes (t_max <= 0) return False.
+
+    No bin sort: shadow pools inherit the extension sort's coherence
+    (origins are the cell-sorted hit points, wavefront.py TraceShadowRay),
+    so the demand sweep runs in the caller's lane order — saving the
+    ~40 ms/2M sort the closest-hit pipeline pays. The kernel's any_hit
+    mode demand-drops ALL remaining slots the moment a lane is occluded,
+    so blocks whose lanes resolve early stop sweeping.
+
+    Resolution rule: a lane is exact when it is occluded, or when
+    thr >= t_max - 1e-3 (every uncaptured candidate treelet's entry lies
+    at or beyond the endpoint margin, so nothing there can occlude; a
+    slot demand-dropped at budget bt can only hold t >= bt, and an
+    unoccluded lane's bt is >= t_max - 1e-3 by definition). The rest are
+    compacted to a dense prefix and finished by the wide packet any-hit
+    kernel (overflow: full-pool fallback under lax.cond)."""
+    n = ori.x.shape[0]
+    s_t, s_o, thr = dense_scan(sweep, ori, d, t_max, slots=slots)
+    if kernel == "sublane":
+        hit = sweep8_closest_hit(sweep, ori, d, t_max, tuple(s_o),
+                                 tuple(s_t), unroll_chunks=unroll,
+                                 any_hit=True)
+    else:
+        hit = sweep_closest_hit(sweep, ori, d, t_max, tuple(s_o),
+                                tuple(s_t), any_hit=True)
+    live = t_max > 0
+    occ = live & (hit.tri >= 0) & (hit.t < t_max - 1e-3)
+    resolved = occ | (thr >= t_max - 1e-3) | ~live
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    unres = ~resolved
+    n_unres = jnp.sum(unres.astype(jnp.int32))
+    P = min(n, tail_prefix or max(16384, n // 32))
+    wide_knobs = dict(group=group, node_pops=node_pops,
+                      cluster_pops=cluster_pops)
+
+    def prefix_any(_):
+        dst = jnp.where(unres, jnp.cumsum(unres.astype(jnp.int32)) - 1, P)
+        tail_idx = jnp.zeros((P + 1,), jnp.int32).at[dst].set(
+            pos, mode="drop")
+        ti = tail_idx[:P]
+        live_slot = jnp.arange(P, dtype=jnp.int32) < n_unres
+        g = lambda a: jnp.take(a, ti)
+        # unfilled slots alias lane 0 — kill via t_max <= 0
+        tm_g = jnp.where(live_slot, g(t_max), 0.0)
+        to = packet_any_hit_wide(
+            pack, Vec3(g(ori.x), g(ori.y), g(ori.z)),
+            Vec3(g(d.x), g(d.y), g(d.z)), tm_g, **wide_knobs)
+        win = to & live_slot
+        ti_w = jnp.where(win, ti, n)  # only occluded slots write back
+        return occ.at[ti_w].set(True, mode="drop")
+
+    def full_any(_):
+        to = packet_any_hit_wide(pack, ori, d,
+                                 jnp.where(resolved, 0.0, t_max),
+                                 **wide_knobs)
+        # the wide kernel reports t_max<=1e-3 lanes as occluded (its
+        # packet early-exit convention, pallas_traverse.py occ0) — mask
+        # the killed lanes back out
+        return occ | (to & ~resolved)
+
+    return jax.lax.cond(n_unres <= P, prefix_any, full_any, operand=None)
 
 
 @functools.partial(jax.jit,

@@ -154,6 +154,11 @@ class RenderConfig:
     # tail-prefix compaction: "scatter" (cumsum + one int32 scatter +
     # P-row gathers) or "sort" (9-operand full-pool lax.sort; A/B knob)
     sweep_tail_compact: str = "scatter"
+    # route shadow (any-hit) rays through the sweep pipeline too
+    # (sweepcast.sweep_any_hit: scan + demand sweep in pool order + wide
+    # any-hit tail) instead of the wide packet any-hit kernel. Default
+    # off until the TPU A/B lands (shadow casts are ~15% of frame casts)
+    sweep_shadow: bool = False
     # two-pass extension cast: first cast with t_max = frac * world
     # diagonal (a bounded per-lane limit collapses the packet's node-visit
     # union — far subtrees fail the slab test for every lane), then

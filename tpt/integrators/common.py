@@ -110,7 +110,8 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
     if cfg.backend == RayCastBackend.BVH_SWEEP:
         from ..bvh.pallas_traverse import (packet_closest_hit_wide,
                                            pallas_any_hit)
-        from ..bvh.sweepcast import sweep_cast, sweep_cast_sorted
+        from ..bvh.sweepcast import (sweep_any_hit, sweep_cast,
+                                     sweep_cast_sorted)
         from ..integrators.intersect import FLT_MAX as _FMAX
 
         pack, sweep = scene.pack, scene.sweep
@@ -149,10 +150,23 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                                          unroll=cfg.sweep_unroll,
                                          tail_compact=cfg.sweep_tail_compact)
 
+        if cfg.sweep_shadow:
+            # shadow rays through the sweep pipeline too: no bin sort
+            # (pool order inherits the extension sort's coherence), the
+            # kernel's any-hit mode demand-drops slots on first occlusion
+            def any_hit(o, d, t_max):
+                return sweep_any_hit(
+                    pack, sweep, o, d, t_max, slots=cfg.sweep_slots,
+                    kernel=cfg.sweep_kernel, unroll=cfg.sweep_unroll,
+                    group=cfg.trav_group, node_pops=cfg.trav_node_pops,
+                    cluster_pops=cfg.trav_cluster_pops)
+        else:
+            def any_hit(o, d, t_max):
+                return pallas_any_hit(scene.mesh, pack, o, d, t_max,
+                                      **wide_knobs)
         return Raycaster(
             closest_hit=closest,
-            any_hit=lambda o, d, t_max: pallas_any_hit(
-                scene.mesh, pack, o, d, t_max, **wide_knobs),
+            any_hit=any_hit,
             name="bvh_sweep",
         )
     from ..bvh.traverse import bvh_closest_hit, bvh_any_hit
