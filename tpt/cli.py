@@ -28,6 +28,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-wave", action="store_true", help="wavefront engine (default)")
     p.add_argument("-vis", action="store_true",
                    help="progressive preview: write preview PNG every --preview-every frames")
+    p.add_argument("-tui", action="store_true",
+                   help="live terminal viewer (ANSI truecolor, FPS keys; "
+                        "see tpt/term_viewer.py)")
     p.add_argument("--iterations", type=int, default=None,
                    help="override scene ITERATIONS")
     p.add_argument("--depth", type=int, default=None, help="override trace depth")
@@ -97,6 +100,17 @@ def main(argv=None) -> int:
 
     renderer = Renderer(data, host.camera, cfg)
     os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.tui:
+        from .term_viewer import run_term_viewer
+
+        run_term_viewer(renderer, max_frames=cfg.iterations,
+                        out_dir=args.out_dir)
+        name = timestamped_name(host.image_name, cfg.iterations)
+        out_path = os.path.join(args.out_dir, name)
+        save_png(out_path, renderer.frame()[:, ::-1], gamma=cfg.gamma)
+        print(f"[tpt] saved {out_path}")
+        return 0
 
     img = None
     t0 = time.time()

@@ -67,6 +67,56 @@ def _upscale(img: np.ndarray, shape) -> np.ndarray:
     return img[yi][:, xi]
 
 
+class CameraRig:
+    """FPS camera controls shared by the matplotlib and terminal viewers
+    (reference main.cpp:271-301 translation, :382-408 mouse-look). Drives
+    the full-res engine and an optional low-res preview engine; every
+    move is a zero-recompile retarget (CamArrays runtime args) and resets
+    accumulation like the reference's camera edits."""
+
+    def __init__(self, renderer: Renderer, preview: Optional[Renderer],
+                 nav_hold_s: float = 0.75):
+        self.renderer = renderer
+        self.preview = preview
+        self.nav_hold_s = nav_hold_s
+        self.moving_until = 0.0
+
+    @property
+    def navigating(self) -> bool:
+        return self.preview is not None and time.time() < self.moving_until
+
+    def _retarget(self, moved) -> None:
+        self.renderer.move_camera(moved)
+        if self.preview is not None:
+            self.preview.move_camera(self.preview.cam.moved(
+                position=moved.position, look_at=moved.look_at))
+            self.moving_until = time.time() + self.nav_hold_s
+
+    def move(self, forward: float = 0.0, right: float = 0.0,
+             up: float = 0.0) -> None:
+        cam = self.renderer.cam
+        speed = 0.02 * np.linalg.norm(
+            np.asarray(cam.look_at) - np.asarray(cam.position)) + 1.0
+        delta = (np.asarray(cam.view) * forward
+                 + np.asarray(cam.right) * right
+                 + np.asarray(cam.true_up) * up) * speed
+        self._retarget(cam.moved(
+            position=tuple(np.asarray(cam.position) + delta),
+            look_at=tuple(np.asarray(cam.look_at) + delta)))
+
+    def look(self, dx_px: float, dy_px: float,
+             sensitivity: float = 0.2) -> None:
+        cam = self.renderer.cam
+        yaw, pitch = yaw_pitch_from_view(cam.view)
+        yaw -= dx_px * sensitivity
+        pitch = max(-89.0, min(89.0, pitch + dy_px * sensitivity))
+        dist = float(np.linalg.norm(np.asarray(cam.look_at)
+                                    - np.asarray(cam.position)))
+        front = np.asarray(view_from_yaw_pitch(yaw, pitch))
+        self._retarget(cam.moved(look_at=tuple(
+            np.asarray(cam.position) + front * max(dist, 1e-3))))
+
+
 def run_viewer(renderer: Renderer, max_frames: int = 0,
                out_dir: str = ".", snapshot_every: int = 10,
                interactive: Optional[bool] = None,
@@ -100,49 +150,12 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
 
     fig, ax = plt.subplots(figsize=(8, 8))
     fig.canvas.manager.set_window_title("tpt viewer")
-    state = {"quit": False, "moving_until": 0.0}
+    state = {"quit": False}
     preview = (make_preview_renderer(renderer, preview_scale)
                if preview_scale > 1 else None)
-
-    def move_camera(forward=0.0, right=0.0, up=0.0):
-        """FPS-style camera translation (reference main.cpp:271-301);
-        resets accumulation like the reference's camera edits. Both
-        engines re-target without recompiling (CamArrays)."""
-        import numpy as np_
-
-        cam = renderer.cam
-        speed = 0.02 * np_.linalg.norm(
-            np_.asarray(cam.look_at) - np_.asarray(cam.position)) + 1.0
-        delta = (np_.asarray(cam.view) * forward
-                 + np_.asarray(cam.right) * right
-                 + np_.asarray(cam.true_up) * up) * speed
-        moved = cam.moved(
-            position=tuple(np_.asarray(cam.position) + delta),
-            look_at=tuple(np_.asarray(cam.look_at) + delta))
-        _retarget(moved)
-
-    def _retarget(moved):
-        renderer.move_camera(moved)
-        if preview is not None:
-            preview.move_camera(preview.cam.moved(
-                position=moved.position, look_at=moved.look_at))
-            state["moving_until"] = time.time() + 0.75
-
-    def look_camera(dx_px, dy_px, sensitivity=0.2):
-        """FPS mouse-look: left-drag rotates the view direction by
-        (yaw, pitch), pitch clamped to +-89 deg — exactly the reference's
-        mousePositionCallback (main.cpp:382-408)."""
-        import numpy as np_
-
-        cam = renderer.cam
-        yaw, pitch = yaw_pitch_from_view(cam.view)
-        yaw -= dx_px * sensitivity
-        pitch = max(-89.0, min(89.0, pitch + dy_px * sensitivity))
-        dist = float(np_.linalg.norm(np_.asarray(cam.look_at)
-                                     - np_.asarray(cam.position)))
-        front = np_.asarray(view_from_yaw_pitch(yaw, pitch))
-        _retarget(cam.moved(look_at=tuple(
-            np_.asarray(cam.position) + front * max(dist, 1e-3))))
+    rig = CameraRig(renderer, preview)
+    move_camera = rig.move
+    look_camera = rig.look
 
     def on_key(event):
         k = event.key
@@ -205,8 +218,7 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
     frame_count = 0
     full_shape = renderer._shape
     while not state["quit"] and (max_frames <= 0 or frame_count < max_frames):
-        navigating = preview is not None and time.time() < state[
-            "moving_until"]
+        navigating = rig.navigating
         if navigating:
             img = _upscale(preview.frame(), full_shape)
             g = preview.gui
