@@ -46,29 +46,36 @@ def main():
         print(f"[rt] scene {scene_name}: {host.mesh.num_triangles} tris "
               f"({time.time()-t0:.0f}s)", file=sys.stderr)
 
+        batch = os.environ.get("RT_BATCH", "1") == "1"
         for spp in (1, 3):
+            # batch mode (default): one displayed frame = ONE frame-fn
+            # call tracing an spp-x pool (spp_batch — the coherence sort
+            # sees spp x 2M rays; the measured 1.45x headline lever) +
+            # one SVGF. RT_BATCH=0 reproduces the round-3 first-cut
+            # numbers: spp sequential 1-spp accumulate steps instead.
             cfg = RenderConfig(backend=backend, trace_depth=depth,
-                               denoiser_on=True)
+                               denoiser_on=True,
+                               spp_batch=spp if batch else 1)
             r = Renderer(data, host.camera, cfg)
+            steps = 1 if batch else spp
             t0 = time.time()
-            for s in range(spp):  # compile + warmup both svgf on/off paths
-                r.gui.denoiser_on = s == spp - 1
+            for s in range(steps):  # compile + warmup both svgf paths
+                r.gui.denoiser_on = s == steps - 1
                 img = r.frame()
             print(f"[rt] {scene_name} {spp}spp compile+warmup "
                   f"{time.time()-t0:.0f}s", file=sys.stderr)
 
             t0 = time.time()
             for _ in range(frames):
-                # one displayed frame = spp accumulate steps, the last of
-                # which runs SVGF and converts for display (engine.frame)
-                for s in range(spp):
-                    r.gui.denoiser_on = s == spp - 1
+                for s in range(steps):
+                    r.gui.denoiser_on = s == steps - 1
                     img = r.frame()
             dt = (time.time() - t0) / frames
             assert np.isfinite(img).all()
             print(json.dumps({
                 "metric": f"realtime_frame {scene_name} {spp}spp "
-                          f"{res[0]}x{res[1]} depth{depth}",
+                          f"{res[0]}x{res[1]} depth{depth}"
+                          + (" batched" if batch else ""),
                 "value": round(dt * 1e3, 1), "unit": "ms/frame",
                 "vs_target_50ms": round(dt * 1e3 / 50.0, 2)}))
             sys.stdout.flush()

@@ -38,4 +38,8 @@ run bench_sweep_spp4 2400 env BENCH_BACKEND=BVH_SWEEP JAX_LOG_COMPILES=1 python 
 #    (wide backend default vs sweep backend with sweep_shadow)
 run bench_sweep_shadow 2400 env BENCH_BACKEND=BVH_SWEEP BENCH_SWEEP_SHADOW=1 python bench.py
 
+# 4. real-time frame with the spp pool batched (one frame-fn call per
+#    displayed frame; queue-1's realtime measured the sequential flavor)
+run realtime_batched 5400 env RT_SCENES=143k python benchmarks/realtime.py
+
 echo "QUEUE2 DONE $(date -u)" | tee -a /tmp/q2_status.log

@@ -153,6 +153,25 @@ class TestRaySorting:
                                  cfgx.with_(spp_batch=2), iterations=2)
         np.testing.assert_array_equal(bat_x, seq_x)
 
+    def test_engine_spp_batch_iteration_step(self):
+        """Renderer advances `iteration` by spp_batch per frame (it counts
+        SAMPLES): one spp_batch=2 frame must reproduce two sequential
+        1-spp frames exactly — same seeds, same accumulator normalization
+        (a +1 step would re-trace sample 2's seed in frame 2)."""
+        from tpt.engine import Renderer
+
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=False)
+        data = scene.build()
+        base = RenderConfig(backend=RayCastBackend.BRUTE_FORCE,
+                            trace_depth=2, denoiser_on=False)
+        r1 = Renderer(data, scene.camera, base)
+        r1.frame()
+        seq = r1.frame()
+        r2 = Renderer(data, scene.camera, base.with_(spp_batch=2))
+        bat = r2.frame()
+        assert r2.iteration == 2
+        np.testing.assert_array_equal(bat, seq)
+
     def test_sort_cadence_matches_every_bounce(self, monkeypatch):
         """cfg.sort_every=2 skips the pool sort on alternate bounces
         (coherence vs fixed sort cost — BENCHMARKS §6); lane order changes

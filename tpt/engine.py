@@ -117,8 +117,14 @@ class Renderer:
 
     # -- frame -----------------------------------------------------------------
     def frame(self) -> np.ndarray:
-        self.iteration += 1
-        it = jnp.uint32(self.iteration)
+        # the wavefront frame fn consumes spp_batch consecutive iteration
+        # numbers per call (one per sample in the pool); iteration counts
+        # SAMPLES so seeds never overlap across frames and the
+        # accumulator normalization below stays exact
+        step = (1 if self.cfg.mode == RenderMode.MEGAKERNEL
+                else max(1, self.cfg.spp_batch))
+        it = jnp.uint32(self.iteration + 1)
+        self.iteration += step
         h, w = self._shape
         t0 = time.perf_counter()
 
