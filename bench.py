@@ -66,9 +66,10 @@ def main() -> int:
     spp = int(os.environ.get("BENCH_SPP", "1" if fast else "4"))
     sort_every = int(os.environ.get("BENCH_SORT_EVERY", "1"))
     sweep_shadow = os.environ.get("BENCH_SWEEP_SHADOW") == "1"
+    key_slots = int(os.environ.get("BENCH_SWEEP_KEY_SLOTS", "2"))
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
                        sort_every=sort_every, sweep_unroll=sweep_unroll,
-                       sweep_shadow=sweep_shadow)
+                       sweep_shadow=sweep_shadow, sweep_key_slots=key_slots)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
     acc_d = Vec3.zeros((n,))

@@ -392,3 +392,34 @@ class TestSweepAnyHit:
         img_w = wavefront.render(scene, host.camera, cfg_w)
         img_s = wavefront.render(scene, host.camera, cfg_s)
         np.testing.assert_allclose(img_s, img_w, atol=1e-6)
+
+    def test_render_two_key_bin_sort_parity(self):
+        """sweep_key_slots=3 (2-key bin sort: (slot1,slot0),(slot2,octant))
+        only changes LANE ORDER inside the per-bounce pool; per-pixel
+        radiance must match the single-key default to accumulation
+        roundoff (the final pixel sort restores order; reductions see a
+        different lane permutation, hence allclose not array_equal)."""
+        import tpt
+        from tpt.integrators import wavefront
+        from tpt.scene import procedural as proc
+
+        host = proc.cornell_box(resolution=(24, 24), spheres=True)
+        scene = host.build(with_bvh=True, treelet_max_tris=256)
+        cfg1 = tpt.RenderConfig(backend=tpt.RayCastBackend.BVH_SWEEP,
+                                trace_depth=3, iterations=2)
+        cfg3 = cfg1.with_(sweep_key_slots=3)
+        img1 = wavefront.render(scene, host.camera, cfg1)
+        img3 = wavefront.render(scene, host.camera, cfg3)
+        np.testing.assert_allclose(img3, img1, atol=1e-5, rtol=1e-5)
+
+        # standalone pipeline: identical HitRecord for bounce rays
+        from tpt.bvh.sweepcast import sweep_cast
+
+        pack, sweep = scene.pack, scene.sweep
+        o2, d2, tm = TestSweepCast2._bounce_rays(TestSweepCast2(), host,
+                                                 scene, seed=31)
+        h1 = sweep_cast(pack, sweep, o2, d2, tm, key_slots=2)
+        h3 = sweep_cast(pack, sweep, o2, d2, tm, key_slots=3)
+        for f in ("t", "tri", "u", "v"):
+            np.testing.assert_array_equal(np.asarray(getattr(h1, f)),
+                                          np.asarray(getattr(h3, f)))

@@ -60,18 +60,37 @@ from .pallas_treelet import _INF
 from .treelet import SweepTables
 
 
-def bin_key(s_o, d: Vec3, T: int, slots: int) -> jnp.ndarray:
+def _octant(d: Vec3) -> jnp.ndarray:
+    return ((d.x >= 0).astype(jnp.int32) * 4
+            + (d.y >= 0).astype(jnp.int32) * 2
+            + (d.z >= 0).astype(jnp.int32))
+
+
+def bin_key(s_o, d: Vec3, T: int, slots: int,
+            with_octant: bool = True) -> jnp.ndarray:
     """(slot1, slot0, dir-octant) composite sort key. The octant tertiary
     groups same-bin rays by direction cone so the (unsorted) slot2/3
     requests of adjacent lanes correlate — measured to shrink the demand
-    sweep's block unions. Fits int32 for T < 5000."""
+    sweep's block unions. Fits int32 for T < 5000. `with_octant=False`
+    drops the octant tertiary (the 2-key bin sort moves it into key 2,
+    after slot2 — see bin_key2)."""
     assert (T + 1) * (T + 1) * 8 < 2 ** 31
     o_cap = [jnp.minimum(s_o[i], T).astype(jnp.int32) for i in range(slots)]
-    octant = ((d.x >= 0).astype(jnp.int32) * 4
-              + (d.y >= 0).astype(jnp.int32) * 2
-              + (d.z >= 0).astype(jnp.int32))
     key = o_cap[1] * (T + 1) + o_cap[0] if slots > 1 else o_cap[0]
-    return key * 8 + octant
+    return key * 8 + _octant(d) if with_octant else key
+
+
+def bin_key2(s_o, d: Vec3, T: int, slots: int) -> jnp.ndarray:
+    """Secondary sort key (slot2, dir-octant) for the 2-key bin sort
+    (cfg.sweep_key_slots=3; key 1 = bin_key(with_octant=False)): within
+    a (slot1, slot0) group, lanes that also agree on their THIRD
+    candidate pack into the same 128-lane block, shrinking the demand
+    sweep's ordinal union (the union 14-19 vs ideal 2-3 is the sweep
+    kernel's remaining cost — BENCHMARKS §4d). One extra int32 sort
+    operand (~2.6 ms/2M) + the 2-key comparator cost."""
+    o2 = (jnp.minimum(s_o[2], T).astype(jnp.int32) if slots > 2
+          else jnp.zeros_like(s_o[0], jnp.int32))
+    return o2 * 8 + _octant(d)
 
 
 def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,
@@ -263,32 +282,38 @@ def sweep_any_hit(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
 
 @functools.partial(jax.jit,
                    static_argnames=("slots", "tail", "kernel", "tail_prefix",
-                                    "unroll", "tail_compact"))
+                                    "unroll", "tail_compact", "key_slots"))
 def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                t_max: jnp.ndarray, slots: int = 4,
                tail: bool = True, kernel: str = "sublane",
                tail_prefix: int = 0, unroll: int = 4,
-               tail_compact: str = "scatter") -> HitRecord:
+               tail_compact: str = "scatter",
+               key_slots: int = 2) -> HitRecord:
     """Exact closest hit (bit-matches brute force up to equal-t ties) for
     an unsorted ray population; dead lanes (t_max <= 0) return tri=-1.
     kernel: "sublane" (sweep8: 128-ray blocks, 8 tris/VPU-op) or "lane"
-    (1024-ray blocks, one tri/op)."""
+    (1024-ray blocks, one tri/op). key_slots=3 uses the 2-key bin sort
+    ((slot1, slot0), (slot2, octant)) — see bin_key2."""
     n = ori.x.shape[0]
     s_t, s_o, thr = dense_scan(sweep, ori, d, t_max, slots=slots)
 
     # --- bin sort: key = (slot1, slot0, octant), compact ----------------
     T = sweep.num_treelets
-    key = bin_key(s_o, d, T, slots)
+    two_key = key_slots >= 3 and slots > 2
+    keys = (bin_key(s_o, d, T, slots, with_octant=not two_key),)
+    if two_key:
+        keys = keys + (bin_key2(s_o, d, T, slots),)
+    nk = len(keys)
     idx = jnp.arange(n, dtype=jnp.int32)
-    ops = (key, ori.x, ori.y, ori.z, d.x, d.y, d.z, t_max,
+    ops = (*keys, ori.x, ori.y, ori.z, d.x, d.y, d.z, t_max,
            *(s_o[i] for i in range(slots)),
            *(s_t[i] for i in range(slots)), thr, idx)
-    ops = jax.lax.sort(ops, num_keys=1)
-    (ox, oy, oz, dx, dy, dz, tm) = ops[1:8]
-    so = ops[8:8 + slots]
-    st = ops[8 + slots:8 + 2 * slots]
-    thr_s = ops[8 + 2 * slots]
-    idx_s = ops[9 + 2 * slots]
+    ops = jax.lax.sort(ops, num_keys=nk)
+    (ox, oy, oz, dx, dy, dz, tm) = ops[nk:nk + 7]
+    so = ops[nk + 7:nk + 7 + slots]
+    st = ops[nk + 7 + slots:nk + 7 + 2 * slots]
+    thr_s = ops[nk + 7 + 2 * slots]
+    idx_s = ops[nk + 8 + 2 * slots]
     ori_s = Vec3(ox, oy, oz)
     d_s = Vec3(dx, dy, dz)
 

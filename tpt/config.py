@@ -146,6 +146,11 @@ class RenderConfig:
     # "lane" (1 tri x 1024 rays); results are identical (tests)
     sweep_slots: int = 4
     sweep_kernel: str = "sublane"
+    # bin-sort key width: 2 = one int32 key (slot1, slot0, octant);
+    # 3 = two keys ((slot1, slot0), (slot2, octant)) — blocks agree on
+    # their third candidate too, shrinking the demand sweep's ordinal
+    # union for one extra sort operand (results identical; perf A/B)
+    sweep_key_slots: int = 2
     # chunks Möller–Trumbore'd per fori iteration in the sublane sweep
     # kernel (must divide the scene's sweep-table chunk_align —
     # host.build(sweep_chunk_align=...)); >= the table's max_chunks takes

@@ -142,7 +142,8 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                                       slots=cfg.sweep_slots,
                                       kernel=cfg.sweep_kernel,
                                       unroll=cfg.sweep_unroll,
-                                      tail_compact=cfg.sweep_tail_compact)
+                                      tail_compact=cfg.sweep_tail_compact,
+                                      key_slots=cfg.sweep_key_slots)
                 s_o, s_t, thr = sweep_slots
                 return sweep_cast_sorted(pack, sweep, o, d, t_max,
                                          s_o, s_t, thr,

@@ -186,25 +186,36 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             # gets the sorted candidate planes — no internal sort/unsort
             # inside the cast (sweepcast.sweep_cast_sorted).
             from ..bvh.pallas_sweep import dense_scan
-            from ..bvh.sweepcast import bin_key
+            from ..bvh.sweepcast import bin_key, bin_key2
 
             S = cfg.sweep_slots
             pre_tmax = jnp.where(alive, 3.4e38, -1.0)
             s_t, s_o, thr = dense_scan(scene.sweep, ori, direction,
                                        pre_tmax, slots=S)
+            two_key = cfg.sweep_key_slots >= 3 and S > 2
             key = jnp.where(
-                alive, bin_key(s_o, direction, scene.sweep.num_treelets, S),
+                alive, bin_key(s_o, direction, scene.sweep.num_treelets, S,
+                               with_octant=not two_key),
                 jnp.int32(1 << 30))
-            (_, ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
-             drx, dry, drz, inx, iny, inz, pidx, *slot_ops) = jax.lax.sort(
-                (key, ori.x, ori.y, ori.z,
-                 direction.x, direction.y, direction.z,
-                 throughput.x, throughput.y, throughput.z,
-                 last_pdf, state, alive.astype(jnp.int32),
-                 direct.x, direct.y, direct.z,
-                 indirect.x, indirect.y, indirect.z, pixel_idx,
-                 *(s_o[i] for i in range(S)),
-                 *(s_t[i] for i in range(S)), thr), num_keys=1)
+            keys = (key,)
+            if two_key:
+                keys = (key, jnp.where(
+                    alive,
+                    bin_key2(s_o, direction, scene.sweep.num_treelets, S),
+                    jnp.int32(1 << 30)))
+            sorted_ops = jax.lax.sort(
+                keys + (ori.x, ori.y, ori.z,
+                        direction.x, direction.y, direction.z,
+                        throughput.x, throughput.y, throughput.z,
+                        last_pdf, state, alive.astype(jnp.int32),
+                        direct.x, direct.y, direct.z,
+                        indirect.x, indirect.y, indirect.z, pixel_idx,
+                        *(s_o[i] for i in range(S)),
+                        *(s_t[i] for i in range(S)), thr),
+                num_keys=len(keys))
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
+             drx, dry, drz, inx, iny, inz, pidx,
+             *slot_ops) = sorted_ops[len(keys):]
             ori, direction = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
             throughput, last_pdf, state = Vec3(tx, ty, tz), lp, stt
             alive = al != 0
