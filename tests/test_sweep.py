@@ -393,6 +393,37 @@ class TestSweepAnyHit:
         img_s = wavefront.render(scene, host.camera, cfg_s)
         np.testing.assert_allclose(img_s, img_w, atol=1e-6)
 
+    def test_split_seed_dispatch_matches_fused(self):
+        """Split mode dispatches the sweep seed sort as its own program
+        (_sweep_seed_sort; the fused seeded bounce hangs the TPU
+        compiler). Same math, different XLA program boundaries — images
+        must agree to FMA-refusion tolerance."""
+        import tpt
+        from tpt.integrators import wavefront
+        from tpt.scene import procedural as proc
+
+        host = proc.cornell_box(resolution=(24, 24), spheres=True)
+        scene = host.build(with_bvh=True, treelet_max_tris=256)
+        cfg = tpt.RenderConfig(backend=tpt.RayCastBackend.BVH_SWEEP,
+                               trace_depth=3, iterations=2)
+
+        def render_mode(split):
+            frame, vp = wavefront.make_frame_fn(scene, host.camera, cfg,
+                                                split_bounces=split)
+            from tpt.core.vec import Vec3
+            import jax.numpy as jnp
+
+            acc_d = Vec3.zeros((host.camera.num_pixels,))
+            acc_i = Vec3.zeros((host.camera.num_pixels,))
+            for it in (1, 2):
+                _, acc_d, acc_i = frame(jnp.uint32(it), vp, acc_d, acc_i)
+            w, h = host.camera.resolution
+            return np.asarray(
+                (acc_d + acc_i).stacked().reshape(h, w, 3)) / 2.0
+
+        np.testing.assert_allclose(render_mode(True), render_mode(False),
+                                   atol=1e-5, rtol=1e-5)
+
     def test_render_two_key_bin_sort_parity(self):
         """sweep_key_slots=3 (2-key bin sort: (slot1,slot0),(slot2,octant))
         only changes LANE ORDER inside the per-bounce pool; per-pixel

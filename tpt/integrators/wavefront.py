@@ -143,10 +143,63 @@ def unsort_by_pixel(pixel_idx, direct: Vec3, indirect: Vec3):
     return Vec3(dx, dy, dz), Vec3(ix, iy, iz)
 
 
+def _sweep_seed_sort(scene: SceneData, cfg: RenderConfig, carry_slice):
+    """The BVH_SWEEP pool-seeding stage: dense treelet scan on the
+    unsorted pool, then ONE multi-operand pool sort keyed by the sweep
+    bin key (dead lanes last, preserving the adaptive pool's
+    dense-prefix invariant), returning the sorted pool slice plus the
+    candidate slot planes in pool order.
+
+    Standalone so split mode can dispatch it as its OWN jit program: the
+    fully-fused seeded bounce (scan + 30-operand sort + sweep kernel +
+    tail + shade in one XLA program) hangs the TPU backend compiler
+    (>60 min, observed twice), while these two halves each compile in
+    normal time. Costs one extra ~4 ms dispatch per bounce."""
+    from ..bvh.pallas_sweep import dense_scan
+    from ..bvh.sweepcast import bin_key, bin_key2
+
+    (ori, direction, throughput, last_pdf, state, alive, direct,
+     indirect, pixel_idx) = carry_slice
+    S = cfg.sweep_slots
+    pre_tmax = jnp.where(alive, 3.4e38, -1.0)
+    s_t, s_o, thr = dense_scan(scene.sweep, ori, direction,
+                               pre_tmax, slots=S)
+    two_key = cfg.sweep_key_slots >= 3 and S > 2
+    key = jnp.where(
+        alive, bin_key(s_o, direction, scene.sweep.num_treelets, S,
+                       with_octant=not two_key),
+        jnp.int32(1 << 30))
+    keys = (key,)
+    if two_key:
+        keys = (key, jnp.where(
+            alive,
+            bin_key2(s_o, direction, scene.sweep.num_treelets, S),
+            jnp.int32(1 << 30)))
+    sorted_ops = jax.lax.sort(
+        keys + (ori.x, ori.y, ori.z,
+                direction.x, direction.y, direction.z,
+                throughput.x, throughput.y, throughput.z,
+                last_pdf, state, alive.astype(jnp.int32),
+                direct.x, direct.y, direct.z,
+                indirect.x, indirect.y, indirect.z, pixel_idx,
+                *(s_o[i] for i in range(S)),
+                *(s_t[i] for i in range(S)), thr),
+        num_keys=len(keys))
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
+     drx, dry, drz, inx, iny, inz, pidx, *slot_ops) = sorted_ops[len(keys):]
+    sorted_slice = (Vec3(ox, oy, oz), Vec3(dx, dy, dz), Vec3(tx, ty, tz),
+                    lp, stt, al != 0, Vec3(drx, dry, drz),
+                    Vec3(inx, iny, inz), pidx)
+    slots_data = (tuple(slot_ops[:S]), tuple(slot_ops[S:2 * S]),
+                  slot_ops[2 * S])
+    return sorted_slice, slots_data
+
+
 def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                  cfg: RenderConfig, view_proj, prev_view_proj, depth, carry,
                  first_static: Optional[bool] = None,
-                 sort_this: Optional[bool] = None):
+                 sort_this: Optional[bool] = None,
+                 sweep_slots: Optional[tuple] = None):
     """One wavefront bounce over the full path pool (shared by the fused
     fori_loop frame, the split per-dispatch execution, and the shard_map
     multi-chip step — lane count comes from the carry, so a per-device
@@ -178,51 +231,22 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                            and do_sort and first_static is False)
         sweep_seeding = (cfg.backend == RayCastBackend.BVH_SWEEP
                          and do_sort and first_static is False)
-        if sweep_seeding:
+        if sweep_seeding and sweep_slots is not None:
+            # split mode: the caller already ran _sweep_seed_sort as its
+            # own dispatch — the carry is bin-sorted and these are its
+            # slot planes
+            sweep_slots_data = sweep_slots
+        elif sweep_seeding:
             # fold the sweep pipeline's bin sort INTO the pool sort: the
             # dense scan runs on the unsorted pool, the pool sorts once by
-            # (slot1, slot0, octant) bin key (dead lanes last for the
-            # adaptive pool's dense-prefix invariant), and the raycaster
-            # gets the sorted candidate planes — no internal sort/unsort
-            # inside the cast (sweepcast.sweep_cast_sorted).
-            from ..bvh.pallas_sweep import dense_scan
-            from ..bvh.sweepcast import bin_key, bin_key2
-
-            S = cfg.sweep_slots
-            pre_tmax = jnp.where(alive, 3.4e38, -1.0)
-            s_t, s_o, thr = dense_scan(scene.sweep, ori, direction,
-                                       pre_tmax, slots=S)
-            two_key = cfg.sweep_key_slots >= 3 and S > 2
-            key = jnp.where(
-                alive, bin_key(s_o, direction, scene.sweep.num_treelets, S,
-                               with_octant=not two_key),
-                jnp.int32(1 << 30))
-            keys = (key,)
-            if two_key:
-                keys = (key, jnp.where(
-                    alive,
-                    bin_key2(s_o, direction, scene.sweep.num_treelets, S),
-                    jnp.int32(1 << 30)))
-            sorted_ops = jax.lax.sort(
-                keys + (ori.x, ori.y, ori.z,
-                        direction.x, direction.y, direction.z,
-                        throughput.x, throughput.y, throughput.z,
-                        last_pdf, state, alive.astype(jnp.int32),
-                        direct.x, direct.y, direct.z,
-                        indirect.x, indirect.y, indirect.z, pixel_idx,
-                        *(s_o[i] for i in range(S)),
-                        *(s_t[i] for i in range(S)), thr),
-                num_keys=len(keys))
-            (ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
-             drx, dry, drz, inx, iny, inz, pidx,
-             *slot_ops) = sorted_ops[len(keys):]
-            ori, direction = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
-            throughput, last_pdf, state = Vec3(tx, ty, tz), lp, stt
-            alive = al != 0
-            direct, indirect = Vec3(drx, dry, drz), Vec3(inx, iny, inz)
-            pixel_idx = pidx
-            sweep_slots_data = (tuple(slot_ops[:S]),
-                                tuple(slot_ops[S:2 * S]), slot_ops[2 * S])
+            # the sweep bin key (dead lanes last for the adaptive pool's
+            # dense-prefix invariant), and the raycaster gets the sorted
+            # candidate planes — no internal sort/unsort inside the cast
+            # (sweepcast.sweep_cast_sorted).
+            ((ori, direction, throughput, last_pdf, state, alive, direct,
+              indirect, pixel_idx), sweep_slots_data) = _sweep_seed_sort(
+                scene, cfg, (ori, direction, throughput, last_pdf, state,
+                             alive, direct, indirect, pixel_idx))
         elif treelet_seeding:
             # phase-1 scan + treelet-major re-binning: sort the pool by
             # each ray's nearest-treelet ordinal (then direction cone /
@@ -722,6 +746,30 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
     # fold their bin key into the sort and need it fresh every bounce.
     from ..config import RayCastBackend
 
+    # BVH_SWEEP split mode runs the seed sort as its OWN dispatch: the
+    # fully-fused seeded bounce hangs the TPU backend compiler (>60 min,
+    # twice); see _sweep_seed_sort. Two programs per bounce, each a shape
+    # that compiles in normal time; identical math (tests).
+    sweep_split = (cfg.backend == RayCastBackend.BVH_SWEEP
+                   and cfg.sort_bounce_rays)
+    if sweep_split:
+        @jax.jit
+        def seed_rest(carry):
+            (ori, direction, throughput, last_pdf, state, alive,
+             direct, indirect, pixel_idx, gbuf, rays) = carry
+            sorted_slice, slots = _sweep_seed_sort(
+                scene, cfg, (ori, direction, throughput, last_pdf, state,
+                             alive, direct, indirect, pixel_idx))
+            return sorted_slice + (gbuf, rays), slots
+
+        @jax.jit
+        def bounce_rest_sweep(depth, view_proj, prev_view_proj, carry,
+                              slots):
+            out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                               prev_view_proj, depth, carry,
+                               first_static=False, sweep_slots=slots)
+            return out, jnp.sum(out[5].astype(jnp.int32))
+
     se = max(1, cfg.sort_every)
     cadence_on = se > 1 and cfg.backend == RayCastBackend.BVH_PALLAS
 
@@ -742,6 +790,10 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
         d = int(depth)
         if d == 0:
             return bounce_first(view_proj, prev_view_proj, carry)
+        if sweep_split:
+            carry, slots = seed_rest(carry)
+            return bounce_rest_sweep(jnp.int32(depth), view_proj,
+                                     prev_view_proj, carry, slots)
         if sorted_at(d):
             return bounce_rest(jnp.int32(depth), view_proj, prev_view_proj,
                                carry)
@@ -750,6 +802,8 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
     one_bounce.sorted_at = sorted_at
     one_bounce._jit_fns = (bounce_first, bounce_rest, bounce_rest_nosort)
+    if sweep_split:
+        one_bounce._jit_fns += (seed_rest, bounce_rest_sweep)
     return one_bounce
 
 
