@@ -296,6 +296,76 @@ class TestSweep8:
                                    rtol=1e-5)
 
 
+class TestSweepGroups:
+    """Group-window culling (use_groups: 8 sub-AABBs per treelet trim the
+    per-treelet trip range) — pure perf knob, results must stay exact."""
+
+    def test_all_ordinals_matches_brute_force(self, sweep_scene):
+        from tpt.bvh.pallas_sweep import sweep8_closest_hit
+        host, scene, pack, sweep = sweep_scene
+        assert sweep.max_chunks <= 8 * sweep.chunk_align
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(1))
+        n = host.camera.num_pixels
+        t_max = jnp.full((n,), FLT_MAX)
+        ordinal = jnp.arange(n, dtype=jnp.int32) % sweep.num_treelets
+        got = sweep8_closest_hit(sweep, ori, d, t_max, ordinal,
+                                 use_groups=True)
+        ref = brute_force_closest_hit(scene.mesh, ori, d, t_max)
+        np.testing.assert_array_equal(np.asarray(got.tri),
+                                      np.asarray(ref.tri))
+        m = np.asarray(ref.tri >= 0)
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-5)
+
+    def test_pipeline_bounce_rays_multi_trip_group(self, sweep_scene):
+        """unroll=4 on an align-8 table -> 2 fori trips per group box:
+        the window-to-trip conversion must stay exact."""
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, _ = sweep_scene
+        sweep = sweep_tables(pack, chunk_align=8)
+        assert sweep.max_chunks <= 8 * sweep.chunk_align
+        o2, nd, t_max = TestSweepCast2._bounce_rays(
+            TestSweepCast2(), host, scene, seed=17)
+        got = sweep_cast(pack, sweep, o2, nd, t_max, unroll=4, groups=True)
+        ref = brute_force_closest_hit(scene.mesh, o2, nd,
+                                      jnp.where(t_max > 0, t_max, 0.0))
+        ref_tri = np.where(np.asarray(t_max) > 0, np.asarray(ref.tri), -1)
+        np.testing.assert_array_equal(np.asarray(got.tri), ref_tri)
+        m = ref_tri >= 0
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-5)
+
+    def test_any_hit_groups_matches_brute_force(self, sweep_scene):
+        from tpt.bvh.sweepcast import sweep_any_hit
+        from tpt.integrators.intersect import brute_force_any_hit
+        host, scene, pack, sweep = sweep_scene
+        o2, wi, t_max = TestSweepAnyHit._shadow_segments(
+            TestSweepAnyHit(), host, scene, sweep, seed=23)
+        got = sweep_any_hit(pack, sweep, o2, wi, t_max, groups=True)
+        ref = brute_force_any_hit(scene.mesh, o2, wi,
+                                  jnp.where(t_max > 0, t_max, 0.0))
+        ref = np.asarray(ref) & (np.asarray(t_max) > 0)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+    def test_render_groups_parity(self):
+        """cfg.sweep_groups=True flows through the Raycaster seam and
+        changes nothing but kernel-internal work skipping: per-pixel
+        images must be bit-identical to groups off."""
+        import tpt
+        from tpt.integrators import wavefront
+
+        host = procedural.cornell_box(resolution=(24, 24), spheres=True)
+        scene = host.build(with_bvh=True, treelet_max_tris=256)
+        base = dict(backend=tpt.RayCastBackend.BVH_SWEEP, trace_depth=3,
+                    iterations=2)
+        img_off = wavefront.render(scene, host.camera,
+                                   tpt.RenderConfig(**base))
+        img_on = wavefront.render(
+            scene, host.camera,
+            tpt.RenderConfig(sweep_groups=True, **base))
+        np.testing.assert_allclose(img_on, img_off, atol=1e-6)
+
+
 class TestDenseScan:
     def test_matches_tree_scan_slots(self, sweep_scene):
         """Dense scan and top-tree scan are both exact S-nearest by

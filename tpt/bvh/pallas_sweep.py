@@ -424,7 +424,8 @@ def _mt_chunk(block, ox, oy, oz, dx, dy, dz):
 
 
 def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
-                       demand: bool, any_hit: bool = False):
+                       demand: bool, any_hit: bool = False,
+                       groups: int = 0):
     """Sweep kernel over a [1,128] ray block. vs _make_sweep_kernel:
 
     - 8x finer union granularity: each sweep serves 128 rays instead of
@@ -439,7 +440,16 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
     Per-sublane running bests (sublane s owns rows with row%8 == s) are
     reduced once at the end, picking the smallest packed row among
     equal-t winners — exactly the serial scan-order semantics of the
-    scalar kernels."""
+    scalar kernels.
+
+    `groups` > 0 enables group-window culling: each treelet carries 8
+    sub-AABBs (SweepTables.group_boxes, one per `chunk_align` chunks =
+    `groups` fori trips each) and the sweep slab-tests all 8 against the
+    block's 128 rays in one [8,128] op, then runs only trips
+    [first_hit_group * groups, (last_hit_group+1) * groups) — a
+    branchless trim of the dense MT range (interior miss groups between
+    first and last are still swept; the win is leading/trailing trim,
+    which the packing's spatial order makes common)."""
 
     def kernel(*refs):
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref) = refs[:7]
@@ -450,6 +460,10 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
         if demand:
             st_refs = refs[k:k + n_planes]
             k += n_planes
+        gbox_ref = None
+        if groups:
+            gbox_ref = refs[k]
+            k += 1
         range_ref, tri_ref = refs[k:k + 2]
         t_out, tri_out, u_out, v_out = refs[k + 2:]
         ox = ox_ref[0]
@@ -461,6 +475,16 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
         tmax = tmax_ref[0]
         ord_planes = [r[0] for r in ord_refs]
         st_planes = [r[0] for r in st_refs]
+
+        if groups:
+            # reciprocal directions for the group slab test (same zero
+            # guards as dense_scan so degenerate components agree)
+            ix = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx,
+                                 jnp.where(dx >= 0, 1e-12, -1e-12))
+            iy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy,
+                                 jnp.where(dy >= 0, 1e-12, -1e-12))
+            iz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz,
+                                 jnp.where(dz >= 0, 1e-12, -1e-12))
 
         inf8 = jnp.full((SUBLANES, LANES), 3.4e38, jnp.float32)
         best_t = jnp.minimum(tmax, 3.4e38) + (inf8 - inf8)  # bcast [8,128]
@@ -515,6 +539,39 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
                 # Mosaic while-loop layer (~2 us/iteration of scalar
                 # overhead, BENCHMARKS §6) and issue the body inline
                 bt, brow, bu, bv = chunk(0, (bt, brow, bu, bv))
+            elif groups:
+                # group-window culling: slab-test the treelet's 8 group
+                # sub-AABBs (sublanes) against the 128 rays (lanes) and
+                # trim the trip range to [first, last] hit groups. Pad
+                # groups carry lo = hi = +INF (provable miss), so the
+                # window never reaches beyond nchunks; an all-miss block
+                # (every candidate already beaten by best_t) runs zero
+                # trips (fori lower 8*groups > upper 0).
+                gb = gbox_ref[pl.ds(cur * SUBLANES, SUBLANES), :]
+                gcol = lambda a: gb[:, a:a + 1]
+                bt_ray = jnp.min(bt, axis=0, keepdims=True)
+                t0x = (gcol(0) - ox) * ix
+                t0y = (gcol(1) - oy) * iy
+                t0z = (gcol(2) - oz) * iz
+                t1x = (gcol(3) - ox) * ix
+                t1y = (gcol(4) - oy) * iy
+                t1z = (gcol(5) - oz) * iz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), bt_ray))
+                m = tn <= tf
+                gi = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES),
+                                              0)
+                first = jnp.min(jnp.where(m, gi, SUBLANES))
+                last = jnp.max(jnp.where(m, gi, -1))
+                bt, brow, bu, bv = jax.lax.fori_loop(
+                    first * groups, (last + 1) * groups,
+                    chunk, (bt, brow, bu, bv))
             else:
                 bt, brow, bu, bv = jax.lax.fori_loop(
                     0, jnp.minimum(nchunks, max_chunks) // unroll_chunks,
@@ -554,15 +611,22 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("unroll_chunks", "any_hit"))
+@functools.partial(jax.jit, static_argnames=("unroll_chunks", "any_hit",
+                                             "use_groups"))
 def sweep8_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
                        ordinal, entry_t=None,
                        unroll_chunks: int = 4,
-                       any_hit: bool = False) -> HitRecord:
+                       any_hit: bool = False,
+                       use_groups: bool = False) -> HitRecord:
     """Sublane-parallel variant of sweep_closest_hit: [1,128] ray blocks,
     8 triangles per VPU op. Returns packed-table row ids translated back
     to original triangle ids on the host side of the kernel (one cheap
-    XLA gather over the [rows] id column)."""
+    XLA gather over the [rows] id column).
+
+    use_groups=True trims each treelet sweep to the [first, last] window
+    of its 8 group sub-AABBs that the block's rays actually enter (see
+    _make_sweep8_kernel); requires the table's 8 group slots to cover
+    max_chunks (max_chunks <= 8 * chunk_align)."""
     if not isinstance(ordinal, (tuple, list)):
         ordinal = (ordinal,)
     # every treelet's chunk count must be a whole number of unrolled
@@ -575,6 +639,17 @@ def sweep8_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
         (f"unroll_chunks={unroll_chunks} must divide the table's "
          f"chunk_align={sweep.chunk_align} (rebuild sweep_tables with "
          f"chunk_align={unroll_chunks})")
+    groups = 0
+    if use_groups and unroll_chunks < sweep.max_chunks:
+        # 8 group slots must cover every treelet's chunk span; trips per
+        # group must be whole (chunk_align % unroll_chunks == 0, above)
+        assert sweep.max_chunks <= SUBLANES * sweep.chunk_align, \
+            (f"group culling needs max_chunks={sweep.max_chunks} <= "
+             f"8*chunk_align={SUBLANES * sweep.chunk_align} (rebuild "
+             f"sweep_tables with a larger chunk_align)")
+        assert sweep.group_boxes is not None, \
+            "sweep tables built before group_boxes existed — rebuild"
+        groups = sweep.chunk_align // unroll_chunks
     n_planes = len(ordinal)
     demand = entry_t is not None
     rows = 1
@@ -598,7 +673,7 @@ def sweep8_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
             ogs.append(sg)
 
     kernel = _make_sweep8_kernel(unroll_chunks, sweep.max_chunks, n_planes,
-                                 demand, any_hit)
+                                 demand, any_hit, groups=groups)
     ray_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -609,10 +684,13 @@ def sweep8_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((nt, rows, LANES), jnp.float32),
     ]
+    extra_in = [tab_spec] if groups else []
+    extra_args = (sweep.group_boxes,) if groups else ()
     bt, brow, bu, bv = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=([ray_spec] * (7 + len(ogs)) + [smem_spec, tab_spec]),
+        in_specs=([ray_spec] * (7 + len(ogs)) + extra_in
+                  + [smem_spec, tab_spec]),
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -620,7 +698,8 @@ def sweep8_closest_hit(sweep, ori: Vec3, d: Vec3, t_max: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(ox, oy, oz, dx, dy, dz, tm, *ogs, sweep.ranges, sweep.tri_f32)
+    )(ox, oy, oz, dx, dy, dz, tm, *ogs, *extra_args,
+      sweep.ranges, sweep.tri_f32)
 
     flat = lambda a: a.reshape(-1)[:n]
     brow = flat(brow)

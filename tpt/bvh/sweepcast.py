@@ -171,12 +171,13 @@ def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,
 
 @functools.partial(jax.jit,
                    static_argnames=("tail", "kernel", "tail_prefix",
-                                    "unroll", "tail_compact"))
+                                    "unroll", "tail_compact", "groups"))
 def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
                       d: Vec3, t_max: jnp.ndarray, s_o, s_t, thr,
                       tail: bool = True, kernel: str = "sublane",
                       tail_prefix: int = 0, unroll: int = 4,
-                      tail_compact: str = "scatter") -> HitRecord:
+                      tail_compact: str = "scatter",
+                      groups: bool = False) -> HitRecord:
     """Demand sweep + resolution + compacted tail over a pool that is
     ALREADY sorted by bin_key (same-ordinal lanes adjacent — required
     for performance, not correctness). s_o/s_t are tuples of candidate
@@ -188,7 +189,8 @@ def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
         # unroll must divide the table's chunk_align (asserted inside);
         # unroll >= max_chunks takes the kernel's static one-trip path
         hit = sweep8_closest_hit(sweep, ori, d, t_max, tuple(s_o),
-                                 tuple(s_t), unroll_chunks=unroll)
+                                 tuple(s_t), unroll_chunks=unroll,
+                                 use_groups=groups)
     else:
         hit = sweep_closest_hit(sweep, ori, d, t_max, tuple(s_o),
                                 tuple(s_t))
@@ -208,12 +210,12 @@ def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
 @functools.partial(jax.jit,
                    static_argnames=("slots", "kernel", "tail_prefix",
                                     "unroll", "group", "node_pops",
-                                    "cluster_pops"))
+                                    "cluster_pops", "groups"))
 def sweep_any_hit(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                   t_max: jnp.ndarray, slots: int = 4,
                   kernel: str = "sublane", tail_prefix: int = 0,
                   unroll: int = 4, group: int = 2, node_pops: int = 4,
-                  cluster_pops: int = 4) -> jnp.ndarray:
+                  cluster_pops: int = 4, groups: bool = False) -> jnp.ndarray:
     """Occlusion query via the sweep pipeline: True where the segment
     [EPS, t_max - 1e-3) is blocked (the brute/packet any-hit contract).
     Dead lanes (t_max <= 0) return False.
@@ -237,7 +239,7 @@ def sweep_any_hit(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
     if kernel == "sublane":
         hit = sweep8_closest_hit(sweep, ori, d, t_max, tuple(s_o),
                                  tuple(s_t), unroll_chunks=unroll,
-                                 any_hit=True)
+                                 any_hit=True, use_groups=groups)
     else:
         hit = sweep_closest_hit(sweep, ori, d, t_max, tuple(s_o),
                                 tuple(s_t), any_hit=True)
@@ -282,13 +284,14 @@ def sweep_any_hit(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
 
 @functools.partial(jax.jit,
                    static_argnames=("slots", "tail", "kernel", "tail_prefix",
-                                    "unroll", "tail_compact", "key_slots"))
+                                    "unroll", "tail_compact", "key_slots",
+                                    "groups"))
 def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                t_max: jnp.ndarray, slots: int = 4,
                tail: bool = True, kernel: str = "sublane",
                tail_prefix: int = 0, unroll: int = 4,
                tail_compact: str = "scatter",
-               key_slots: int = 2) -> HitRecord:
+               key_slots: int = 2, groups: bool = False) -> HitRecord:
     """Exact closest hit (bit-matches brute force up to equal-t ties) for
     an unsorted ray population; dead lanes (t_max <= 0) return tri=-1.
     kernel: "sublane" (sweep8: 128-ray blocks, 8 tris/VPU-op) or "lane"
@@ -320,7 +323,7 @@ def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
     hit = sweep_cast_sorted(pack, sweep, ori_s, d_s, tm, so, st, thr_s,
                             tail=tail, kernel=kernel,
                             tail_prefix=tail_prefix, unroll=unroll,
-                            tail_compact=tail_compact)
+                            tail_compact=tail_compact, groups=groups)
 
     # --- unsort ---------------------------------------------------------
     _, t, tri, u, v = jax.lax.sort(

@@ -135,6 +135,10 @@ def attach_treelets(pack: PacketBVH, max_tris: int = 1024) -> PacketBVH:
 # Dense-sweep tables (bvh/pallas_sweep.py)
 # ---------------------------------------------------------------------------
 
+# pad-box sentinel: lo = hi = +INF provably fails the slab test for every
+# direction-sign combination (matches pallas_sweep dense_scan's padding)
+_GINF = 3.0e38
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class SweepTables:
@@ -145,6 +149,13 @@ class SweepTables:
     tri_f32: jnp.ndarray            # [rows_padded, 16] f32
     ranges: jnp.ndarray             # [num_treelets, 2] int32
     boxes: jnp.ndarray              # [num_treelets, 8] f32 aabb lo3/hi3/pad
+    # 8 sub-AABBs per treelet, one per group of `chunk_align` chunks
+    # (= one kernel fori trip at unroll == chunk_align): lo3/hi3/pad2.
+    # Pad groups carry lo = hi = +INF (slab-test provably fails, same
+    # convention as dense_scan's box padding). Lets the sweep kernel trim
+    # its per-treelet trip window to [first, last] hit groups
+    # (pallas_sweep group culling) — valid when max_chunks <= 8*chunk_align.
+    group_boxes: jnp.ndarray = None  # [num_treelets*8, 8] f32
     num_treelets: int = field(metadata=dict(static=True), default=0)
     max_chunks: int = field(metadata=dict(static=True), default=0)
     unroll: int = field(metadata=dict(static=True), default=8)
@@ -223,8 +234,36 @@ def sweep_tables(pack: PacketBVH, unroll: int = 8,
     ranges = np.stack([row_start, chunks], -1).astype(np.int32)
     boxes8 = np.zeros((T, 8), np.float32)
     boxes8[:, :6] = boxes
+
+    # group sub-AABBs: 8 slots per treelet, slot g covering chunks
+    # [g*chunk_align, (g+1)*chunk_align) — i.e. one unroll trip of the
+    # sweep kernel. Computed from the REAL triangle rows only (pad rows
+    # are all-zero and would pull every box to the origin); pad/empty
+    # groups keep lo = hi = +INF so the kernel's slab test provably
+    # fails for them. Slightly inflated (1e-6 relative) so fp rounding
+    # in the slab reciprocals can never cull a true MT hit.
+    G = 8
+    gbox = np.zeros((T * G, 8), np.float32)
+    gbox[:, :6] = _GINF
+    rows_per_group = chunk_align * unroll
+    for t in range(T):
+        for g in range(min(G, int(chunks[t]) // chunk_align)):
+            r0 = int(row_start[t]) + g * rows_per_group
+            r1 = min(r0 + rows_per_group, int(row_start[t]) + int(count[t]))
+            if r1 <= r0:
+                continue
+            rows = out[r0:r1]
+            v0 = rows[:, 0:3]
+            verts = np.concatenate(
+                [v0, v0 + rows[:, 3:6], v0 + rows[:, 6:9]], axis=0)
+            lo, hi = verts.min(0), verts.max(0)
+            pad = 1e-6 * np.maximum(np.abs(lo), np.abs(hi)) + 1e-30
+            gbox[t * G + g, :3] = lo - pad
+            gbox[t * G + g, 3:6] = hi + pad
+
     return SweepTables(
         tri_f32=jnp.asarray(out), ranges=jnp.asarray(ranges),
-        boxes=jnp.asarray(boxes8), num_treelets=T,
+        boxes=jnp.asarray(boxes8), group_boxes=jnp.asarray(gbox),
+        num_treelets=T,
         max_chunks=int(chunks.max()), unroll=unroll,
         chunk_align=chunk_align)

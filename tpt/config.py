@@ -159,6 +159,11 @@ class RenderConfig:
     # tail-prefix compaction: "scatter" (cumsum + one int32 scatter +
     # P-row gathers) or "sort" (9-operand full-pool lax.sort; A/B knob)
     sweep_tail_compact: str = "scatter"
+    # group-window culling in the sublane sweep kernel: slab-test each
+    # treelet's 8 group sub-AABBs (SweepTables.group_boxes) per 128-ray
+    # block and trim the dense MT range to the [first, last] hit groups.
+    # Results identical (tests); default off until the TPU A/B lands
+    sweep_groups: bool = False
     # route shadow (any-hit) rays through the sweep pipeline too
     # (sweepcast.sweep_any_hit: scan + demand sweep in pool order + wide
     # any-hit tail) instead of the wide packet any-hit kernel. Default

@@ -143,13 +143,15 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                                       kernel=cfg.sweep_kernel,
                                       unroll=cfg.sweep_unroll,
                                       tail_compact=cfg.sweep_tail_compact,
-                                      key_slots=cfg.sweep_key_slots)
+                                      key_slots=cfg.sweep_key_slots,
+                                      groups=cfg.sweep_groups)
                 s_o, s_t, thr = sweep_slots
                 return sweep_cast_sorted(pack, sweep, o, d, t_max,
                                          s_o, s_t, thr,
                                          kernel=cfg.sweep_kernel,
                                          unroll=cfg.sweep_unroll,
-                                         tail_compact=cfg.sweep_tail_compact)
+                                         tail_compact=cfg.sweep_tail_compact,
+                                         groups=cfg.sweep_groups)
 
         if cfg.sweep_shadow:
             # shadow rays through the sweep pipeline too: no bin sort
@@ -160,7 +162,8 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                     pack, sweep, o, d, t_max, slots=cfg.sweep_slots,
                     kernel=cfg.sweep_kernel, unroll=cfg.sweep_unroll,
                     group=cfg.trav_group, node_pops=cfg.trav_node_pops,
-                    cluster_pops=cfg.trav_cluster_pops)
+                    cluster_pops=cfg.trav_cluster_pops,
+                    groups=cfg.sweep_groups)
         else:
             def any_hit(o, d, t_max):
                 return pallas_any_hit(scene.mesh, pack, o, d, t_max,
