@@ -165,17 +165,25 @@ def main():
                                    union_p95=round(
                                        float(np.percentile(cnts, 95)), 1))
             t8 = {}
+            t8g = {}
             for u in unrolls:
                 sw_u = sweep if u == 4 else sweep_tables(pack, chunk_align=u)
-                f = jax.jit(lambda o, d, t, so, st_, _sw=sw_u, _u=u:
-                            sweep8_closest_hit(_sw, o, d, t, so, st_,
-                                               unroll_chunks=_u))
-                try:
-                    _, t8[u] = timed(f, os_, ds_, tms, so_s, st_s)
-                except Exception as e:  # VMEM OOM at big unrolls: skip
-                    print(f"[swk] unroll={u} failed: "
-                          f"{str(e).splitlines()[0][:160]}", file=sys.stderr)
-                    t8[u] = -1.0
+                variants = [(t8, False)]
+                if os.environ.get("SWK_GROUPS", "1") == "1":
+                    variants.append((t8g, True))
+                for out, grp in variants:
+                    f = jax.jit(lambda o, d, t, so, st_, _sw=sw_u, _u=u,
+                                _g=grp:
+                                sweep8_closest_hit(_sw, o, d, t, so, st_,
+                                                   unroll_chunks=_u,
+                                                   use_groups=_g))
+                    try:
+                        _, out[u] = timed(f, os_, ds_, tms, so_s, st_s)
+                    except Exception as e:  # VMEM OOM / group constraint
+                        print(f"[swk] unroll={u} groups={grp} failed: "
+                              f"{str(e).splitlines()[0][:160]}",
+                              file=sys.stderr)
+                        out[u] = -1.0
             t_sweep8 = t8[unrolls[0]]
             best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
             resolved = (thr_s >= _INF) | (best <= thr_s)
@@ -204,6 +212,8 @@ def main():
                        sweep_ms=round(t_sweep, 2),
                        **{f"sweep8_u{u}_ms": round(v, 2)
                           for u, v in t8.items()},
+                       **{f"sweep8g_u{u}_ms": round(v, 2)
+                          for u, v in t8g.items()},
                        tail_ms=round(t_tail, 2),
                        **{f"tailc_{m}_ms": round(v, 2)
                           for m, v in t_tailc.items()},
