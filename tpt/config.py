@@ -89,7 +89,12 @@ class RenderConfig:
     bvh_stack_depth: int = 64
     russian_roulette: bool = False  # reference stub is empty (pathtrace.cu:437)
     rr_start_bounce: int = 3
-    env_nee: bool = False  # direct env sampling via the live alias table
+    # Direct env sampling via the live alias table. Dataclass default keeps
+    # reference parity (their sampleEnvironmentMap is dead code, so reference
+    # behavior = off); the CLI defaults it ON — measured 46x variance cut for
+    # 1.68x frame cost on the env-lit headline scene (BENCHMARKS §8), and a
+    # compile-time no-op when the scene has no env map.
+    env_nee: bool = False
     # samples per pixel traced per wavefront dispatch: the path pool holds
     # spp_batch jittered samples of every pixel, so the per-bounce
     # coherence sort sees an spp_batch-x richer pool and packets bin

@@ -143,18 +143,11 @@ def unsort_by_pixel(pixel_idx, direct: Vec3, indirect: Vec3):
     return Vec3(dx, dy, dz), Vec3(ix, iy, iz)
 
 
-def _sweep_seed_sort(scene: SceneData, cfg: RenderConfig, carry_slice):
-    """The BVH_SWEEP pool-seeding stage: dense treelet scan on the
-    unsorted pool, then ONE multi-operand pool sort keyed by the sweep
-    bin key (dead lanes last, preserving the adaptive pool's
-    dense-prefix invariant), returning the sorted pool slice plus the
-    candidate slot planes in pool order.
-
-    Standalone so split mode can dispatch it as its OWN jit program: the
-    fully-fused seeded bounce (scan + 30-operand sort + sweep kernel +
-    tail + shade in one XLA program) hangs the TPU backend compiler
-    (>60 min, observed twice), while these two halves each compile in
-    normal time. Costs one extra ~4 ms dispatch per bounce."""
+def _sweep_scan_keys(scene: SceneData, cfg: RenderConfig, carry_slice):
+    """BVH_SWEEP seed stage 1: dense treelet scan on the unsorted pool +
+    the bin-sort keys (dead lanes keyed last, preserving the adaptive
+    pool's dense-prefix invariant). Elementwise + one Pallas kernel —
+    dispatchable as its own program (see _sweep_seed_sort)."""
     from ..bvh.pallas_sweep import dense_scan
     from ..bvh.sweepcast import bin_key, bin_key2
 
@@ -175,15 +168,26 @@ def _sweep_seed_sort(scene: SceneData, cfg: RenderConfig, carry_slice):
             alive,
             bin_key2(s_o, direction, scene.sweep.num_treelets, S),
             jnp.int32(1 << 30)))
+    return keys, (s_t, s_o, thr)
+
+
+def _sweep_bin_sort(cfg: RenderConfig, carry_slice, keys, slots_raw):
+    """BVH_SWEEP seed stage 2: ONE multi-operand pool sort by the sweep
+    bin key, carrying the pool slice and the scan's candidate slot
+    planes as payload operands."""
+    (ori, direction, throughput, last_pdf, state, alive, direct,
+     indirect, pixel_idx) = carry_slice
+    s_t, s_o, thr = slots_raw
+    S = cfg.sweep_slots
     sorted_ops = jax.lax.sort(
-        keys + (ori.x, ori.y, ori.z,
-                direction.x, direction.y, direction.z,
-                throughput.x, throughput.y, throughput.z,
-                last_pdf, state, alive.astype(jnp.int32),
-                direct.x, direct.y, direct.z,
-                indirect.x, indirect.y, indirect.z, pixel_idx,
-                *(s_o[i] for i in range(S)),
-                *(s_t[i] for i in range(S)), thr),
+        tuple(keys) + (ori.x, ori.y, ori.z,
+                       direction.x, direction.y, direction.z,
+                       throughput.x, throughput.y, throughput.z,
+                       last_pdf, state, alive.astype(jnp.int32),
+                       direct.x, direct.y, direct.z,
+                       indirect.x, indirect.y, indirect.z, pixel_idx,
+                       *(s_o[i] for i in range(S)),
+                       *(s_t[i] for i in range(S)), thr),
         num_keys=len(keys))
     (ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
      drx, dry, drz, inx, iny, inz, pidx, *slot_ops) = sorted_ops[len(keys):]
@@ -193,6 +197,24 @@ def _sweep_seed_sort(scene: SceneData, cfg: RenderConfig, carry_slice):
     slots_data = (tuple(slot_ops[:S]), tuple(slot_ops[S:2 * S]),
                   slot_ops[2 * S])
     return sorted_slice, slots_data
+
+
+def _sweep_seed_sort(scene: SceneData, cfg: RenderConfig, carry_slice):
+    """The BVH_SWEEP pool-seeding stage: dense treelet scan on the
+    unsorted pool, then ONE multi-operand pool sort keyed by the sweep
+    bin key, returning the sorted pool slice plus the candidate slot
+    planes in pool order.
+
+    Composed of _sweep_scan_keys + _sweep_bin_sort so split mode can
+    dispatch EACH as its own jit program: the fully-fused seeded bounce
+    (scan + 30-operand sort + sweep kernel + tail + shade in one XLA
+    program) hangs the TPU backend compiler (>60 min, observed twice),
+    and so does scan+sort alone (seed_rest, observed 2026-08-18) — while
+    the scan and an equally-shaped sort each compiled in normal time in
+    benchmarks/sweep_kernel.py. Costs ~4 ms of extra dispatch per
+    bounce per extra program."""
+    keys, slots_raw = _sweep_scan_keys(scene, cfg, carry_slice)
+    return _sweep_bin_sort(cfg, carry_slice, keys, slots_raw)
 
 
 def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
@@ -754,13 +776,22 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                    and cfg.sort_bounce_rays)
     if sweep_split:
         @jax.jit
+        def scan_rest(carry):
+            keys, slots_raw = _sweep_scan_keys(scene, cfg, carry[:9])
+            return keys, slots_raw
+
+        @jax.jit
+        def sort_rest(carry, keys, slots_raw):
+            sorted_slice, slots = _sweep_bin_sort(cfg, carry[:9], keys,
+                                                  slots_raw)
+            return sorted_slice + carry[9:], slots
+
         def seed_rest(carry):
-            (ori, direction, throughput, last_pdf, state, alive,
-             direct, indirect, pixel_idx, gbuf, rays) = carry
-            sorted_slice, slots = _sweep_seed_sort(
-                scene, cfg, (ori, direction, throughput, last_pdf, state,
-                             alive, direct, indirect, pixel_idx))
-            return sorted_slice + (gbuf, rays), slots
+            # two dispatches: scan+sort fused in one program (seed_rest)
+            # hangs the TPU backend compiler at 1080p pool sizes, while
+            # each half compiles in normal time (2026-08-18 diagnosis)
+            keys, slots_raw = scan_rest(carry)
+            return sort_rest(carry, keys, slots_raw)
 
         @jax.jit
         def bounce_rest_sweep(depth, view_proj, prev_view_proj, carry,
@@ -803,7 +834,7 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
     one_bounce.sorted_at = sorted_at
     one_bounce._jit_fns = (bounce_first, bounce_rest, bounce_rest_nosort)
     if sweep_split:
-        one_bounce._jit_fns += (seed_rest, bounce_rest_sweep)
+        one_bounce._jit_fns += (scan_rest, sort_rest, bounce_rest_sweep)
     return one_bounce
 
 
