@@ -69,10 +69,11 @@ def main() -> int:
     sweep_shadow = os.environ.get("BENCH_SWEEP_SHADOW") == "1"
     key_slots = int(os.environ.get("BENCH_SWEEP_KEY_SLOTS", "2"))
     sweep_groups = os.environ.get("BENCH_SWEEP_GROUPS") == "1"
+    lean = os.environ.get("BENCH_SWEEP_LEAN") == "1"
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
                        sort_every=sort_every, sweep_unroll=sweep_unroll,
                        sweep_shadow=sweep_shadow, sweep_key_slots=key_slots,
-                       sweep_groups=sweep_groups)
+                       sweep_groups=sweep_groups, sweep_lean_sort=lean)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
     acc_d = Vec3.zeros((n,))

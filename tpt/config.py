@@ -169,6 +169,12 @@ class RenderConfig:
     # block and trim the dense MT range to the [first, last] hit groups.
     # Results identical (tests); default off until the TPU A/B lands
     sweep_groups: bool = False
+    # split-mode seed sort WITHOUT the 9 slot-plane payload operands
+    # (the wide backend's proven 20-operand compile shape); the slot
+    # planes are regenerated by re-running the dense scan on the sorted
+    # pool (~one extra scan per bounce). Escape hatch for the
+    # 31-operand sort's pathological TPU compile (BENCHMARKS §4d)
+    sweep_lean_sort: bool = False
     # route shadow (any-hit) rays through the sweep pipeline too
     # (sweepcast.sweep_any_hit: scan + demand sweep in pool order + wide
     # any-hit tail) instead of the wide packet any-hit kernel. Default

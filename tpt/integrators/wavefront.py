@@ -786,11 +786,40 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                                                   slots_raw)
             return sorted_slice + carry[9:], slots
 
+        @jax.jit
+        def sort_lean(carry, keys):
+            # the wide backend's proven 20-operand pool-sort shape: slot
+            # planes do NOT ride the sort — seed_rest regenerates them
+            # with a second scan_rest call on the sorted pool
+            (ori, direction, throughput, last_pdf, state, alive, direct,
+             indirect, pixel_idx) = carry[:9]
+            sorted_ops = jax.lax.sort(
+                tuple(keys) + (ori.x, ori.y, ori.z,
+                               direction.x, direction.y, direction.z,
+                               throughput.x, throughput.y, throughput.z,
+                               last_pdf, state, alive.astype(jnp.int32),
+                               direct.x, direct.y, direct.z,
+                               indirect.x, indirect.y, indirect.z,
+                               pixel_idx),
+                num_keys=len(keys))
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
+             drx, dry, drz, inx, iny, inz, pidx) = sorted_ops[len(keys):]
+            sorted_slice = (Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                            Vec3(tx, ty, tz), lp, stt, al != 0,
+                            Vec3(drx, dry, drz), Vec3(inx, iny, inz), pidx)
+            return sorted_slice + carry[9:]
+
         def seed_rest(carry):
             # two dispatches: scan+sort fused in one program (seed_rest)
             # hangs the TPU backend compiler at 1080p pool sizes, while
             # each half compiles in normal time (2026-08-18 diagnosis)
             keys, slots_raw = scan_rest(carry)
+            if cfg.sweep_lean_sort:
+                # three dispatches: slot planes regenerated post-sort
+                # instead of riding the sort as 9 extra payload operands
+                carry2 = sort_lean(carry, keys)
+                _, (s_t, s_o, thr) = scan_rest(carry2)
+                return carry2, (s_o, s_t, thr)
             return sort_rest(carry, keys, slots_raw)
 
         @jax.jit
@@ -834,7 +863,8 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
     one_bounce.sorted_at = sorted_at
     one_bounce._jit_fns = (bounce_first, bounce_rest, bounce_rest_nosort)
     if sweep_split:
-        one_bounce._jit_fns += (scan_rest, sort_rest, bounce_rest_sweep)
+        one_bounce._jit_fns += (scan_rest, sort_rest, sort_lean,
+                                bounce_rest_sweep)
     return one_bounce
 
 
