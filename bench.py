@@ -49,7 +49,10 @@ def main() -> int:
 
     t0 = time.time()
     host = procedural.fireplace_like(num_triangles=tris, resolution=res)
-    backend = RayCastBackend.BVH_PALLAS if on_tpu else RayCastBackend.BVH_XLA
+    # BVH_SWEEP + lean seed sort is the measured-best TPU config
+    # (0.3948 Mpaths/s vs 0.356-0.370 for BVH_PALLAS, BENCHMARKS §1;
+    # u8+group-culling measured identical at full frame — keep u4)
+    backend = RayCastBackend.BVH_SWEEP if on_tpu else RayCastBackend.BVH_XLA
     bname = os.environ.get("BENCH_BACKEND")
     if bname:
         backend = RayCastBackend[bname.upper()]
@@ -69,7 +72,7 @@ def main() -> int:
     sweep_shadow = os.environ.get("BENCH_SWEEP_SHADOW") == "1"
     key_slots = int(os.environ.get("BENCH_SWEEP_KEY_SLOTS", "2"))
     sweep_groups = os.environ.get("BENCH_SWEEP_GROUPS") == "1"
-    lean = os.environ.get("BENCH_SWEEP_LEAN") == "1"
+    lean = os.environ.get("BENCH_SWEEP_LEAN", "1") == "1"
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
                        sort_every=sort_every, sweep_unroll=sweep_unroll,
                        sweep_shadow=sweep_shadow, sweep_key_slots=key_slots,

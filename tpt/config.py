@@ -172,9 +172,11 @@ class RenderConfig:
     # split-mode seed sort WITHOUT the 9 slot-plane payload operands
     # (the wide backend's proven 20-operand compile shape); the slot
     # planes are regenerated by re-running the dense scan on the sorted
-    # pool (~one extra scan per bounce). Escape hatch for the
-    # 31-operand sort's pathological TPU compile (BENCHMARKS §4d)
-    sweep_lean_sort: bool = False
+    # pool (~one extra scan per bounce). Default ON: the 31-operand
+    # payload sort never finishes the TPU backend compile at 1080p pool
+    # sizes (>16 min, killed), while this shape compiles in ~6 min and
+    # is bit-identical (BENCHMARKS §4d)
+    sweep_lean_sort: bool = True
     # route shadow (any-hit) rays through the sweep pipeline too
     # (sweepcast.sweep_any_hit: scan + demand sweep in pool order + wide
     # any-hit tail) instead of the wide packet any-hit kernel. Default
