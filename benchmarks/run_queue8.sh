@@ -31,3 +31,4 @@ run bench_sweep_lean 1500 env BENCH_BACKEND=bvh_sweep BENCH_SPP=4 \
   BENCH_SWEEP_LEAN=1 JAX_LOG_COMPILES=1 python bench.py
 
 echo "QUEUE8 DONE $(date -u)" | tee -a /tmp/q8_status.log
+# appended 22:13: stack the kernel-bench winners on the lean flavor
