@@ -12,8 +12,9 @@ Baseline: 31.72 Mpaths/s — the reference wavefront on an RTX 3060 Laptop
 Env knobs: BENCH_FRAMES (default 3), BENCH_FAST=1 (tiny scene, smoke only),
 BENCH_BACKEND / BENCH_SPP / BENCH_SORT_EVERY / BENCH_SWEEP_UNROLL /
 BENCH_TREELET_MT / BENCH_SWEEP_SHADOW / BENCH_SWEEP_KEY_SLOTS /
-BENCH_SWEEP_GROUPS (measurement overrides for the config knobs of the
-same name).
+BENCH_SWEEP_GROUPS / BENCH_SWEEP_SEED (packed|lean|wide seed-sort shape,
+default packed) — measurement overrides for the config knobs of the same
+name.
 """
 
 import json
@@ -72,11 +73,11 @@ def main() -> int:
     sweep_shadow = os.environ.get("BENCH_SWEEP_SHADOW") == "1"
     key_slots = int(os.environ.get("BENCH_SWEEP_KEY_SLOTS", "2"))
     sweep_groups = os.environ.get("BENCH_SWEEP_GROUPS") == "1"
-    lean = os.environ.get("BENCH_SWEEP_LEAN", "1") == "1"
+    seed_mode = os.environ.get("BENCH_SWEEP_SEED", "packed")
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
                        sort_every=sort_every, sweep_unroll=sweep_unroll,
                        sweep_shadow=sweep_shadow, sweep_key_slots=key_slots,
-                       sweep_groups=sweep_groups, sweep_lean_sort=lean)
+                       sweep_groups=sweep_groups, sweep_seed_mode=seed_mode)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
     acc_d = Vec3.zeros((n,))

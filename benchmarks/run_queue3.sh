@@ -14,6 +14,7 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 touch /tmp/tpu_queue.running
+trap 'rm -f /tmp/tpu_queue.running' EXIT
 
 run() {
   local name=$1 to=$2; shift 2

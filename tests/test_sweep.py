@@ -524,3 +524,73 @@ class TestSweepAnyHit:
         for f in ("t", "tri", "u", "v"):
             np.testing.assert_array_equal(np.asarray(getattr(h1, f)),
                                           np.asarray(getattr(h3, f)))
+
+
+class TestPackedSeed:
+    """The packed split-mode seed sort (sweepcast.pack_seed/unpack_seed):
+    candidate planes compressed to ~4 payload operands and re-derived
+    from the sorted bin keys — the shape that kills the lean mode's
+    second dense scan per bounce (VERDICT r3 item 1)."""
+
+    @pytest.mark.parametrize("key_slots", [2, 3])
+    def test_roundtrip(self, sweep_scene, key_slots):
+        """Ordinals round-trip exactly through the key/packed operands;
+        entry-t comes back bf16-truncated (<= original, within 2^-7
+        relative — 7 stored mantissa bits); thr round-trips exactly
+        (it rides as raw f32)."""
+        from tpt.bvh.pallas_sweep import dense_scan
+        from tpt.bvh.sweepcast import (bin_key, bin_key2, pack_seed,
+                                       unpack_seed)
+        host, scene, pack, sweep = sweep_scene
+        ori, d, _ = generate_camera_rays(host.camera, jnp.uint32(5))
+        n = host.camera.num_pixels
+        t_max = jnp.where(jnp.arange(n) % 7 == 0, -1.0, FLT_MAX)
+        S, T = 4, sweep.num_treelets
+        s_t, s_o, thr = dense_scan(sweep, ori, d, t_max, slots=S)
+        two_key = key_slots >= 3
+        keys = (bin_key(s_o, d, T, S, with_octant=not two_key),)
+        if two_key:
+            keys = keys + (bin_key2(s_o, d, T, S),)
+        packed = pack_seed(s_o, s_t, thr, T, S, key_slots)
+        uo, ut, uthr = unpack_seed(keys, packed, T, S, key_slots)
+        live = np.asarray(t_max) > 0
+        for i in range(S):
+            o_ref = np.asarray(s_o[i])
+            o_ref = np.where(o_ref >= T, NONE_ORD, o_ref)  # capped = none
+            np.testing.assert_array_equal(np.asarray(uo[i])[live],
+                                          o_ref[live])
+            t_ref = np.asarray(s_t[i])[live]
+            t_got = np.asarray(ut[i])[live]
+            assert (t_got <= t_ref).all()
+            m = np.isfinite(t_ref) & (t_ref > 0)
+            np.testing.assert_allclose(t_got[m], t_ref[m], rtol=2 ** -7)
+        np.testing.assert_array_equal(np.asarray(uthr), np.asarray(thr))
+
+    @pytest.mark.parametrize("mode", ["packed", "lean", "wide"])
+    def test_split_seed_modes_match(self, mode):
+        """All three split-mode seed-sort shapes must render the same
+        image: lean/wide are exact restatements; packed only widens the
+        sweep kernel's demand mask (bf16-truncated entry-t), which adds
+        provably-useless sweeps without changing any hit."""
+        import tpt
+        from tpt.core.vec import Vec3
+        from tpt.integrators import wavefront
+        from tpt.scene import procedural as proc
+
+        host = proc.cornell_box(resolution=(24, 24), spheres=True)
+        scene = host.build(with_bvh=True, treelet_max_tris=256)
+        cfg = tpt.RenderConfig(backend=tpt.RayCastBackend.BVH_SWEEP,
+                               trace_depth=3, iterations=2,
+                               sweep_seed_mode=mode)
+        frame, vp = wavefront.make_frame_fn(scene, host.camera, cfg,
+                                            split_bounces=True)
+        acc_d = Vec3.zeros((host.camera.num_pixels,))
+        acc_i = Vec3.zeros((host.camera.num_pixels,))
+        for it in (1, 2):
+            _, acc_d, acc_i = frame(jnp.uint32(it), vp, acc_d, acc_i)
+        w, h = host.camera.resolution
+        img = np.asarray((acc_d + acc_i).stacked().reshape(h, w, 3)) / 2.0
+        if not hasattr(TestPackedSeed, "_ref_img"):
+            TestPackedSeed._ref_img = img
+        np.testing.assert_allclose(img, TestPackedSeed._ref_img,
+                                   atol=1e-6)

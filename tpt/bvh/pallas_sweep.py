@@ -569,8 +569,15 @@ def _make_sweep8_kernel(unroll_chunks: int, max_chunks: int, n_planes: int,
                                               0)
                 first = jnp.min(jnp.where(m, gi, SUBLANES))
                 last = jnp.max(jnp.where(m, gi, -1))
+                # clamp to the treelet's real trip count: the +INF pad-box
+                # slab test is only a provable miss for normalized ray
+                # directions (|d| components < ~0.88 keep (3e38-o)*inv at
+                # inf); the clamp makes the window safe for any caller
                 bt, brow, bu, bv = jax.lax.fori_loop(
-                    first * groups, (last + 1) * groups,
+                    first * groups,
+                    jnp.minimum((last + 1) * groups,
+                                jnp.minimum(nchunks, max_chunks)
+                                // unroll_chunks),
                     chunk, (bt, brow, bu, bv))
             else:
                 bt, brow, bu, bv = jax.lax.fori_loop(

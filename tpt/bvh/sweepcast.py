@@ -49,6 +49,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.vec import Vec3
 from ..integrators.intersect import FLT_MAX, HitRecord
@@ -91,6 +92,113 @@ def bin_key2(s_o, d: Vec3, T: int, slots: int) -> jnp.ndarray:
     o2 = (jnp.minimum(s_o[2], T).astype(jnp.int32) if slots > 2
           else jnp.zeros_like(s_o[0], jnp.int32))
     return o2 * 8 + _octant(d)
+
+
+# ---------------------------------------------------------------------------
+# Packed seed planes: the scan's 2S+1 candidate planes compressed to 4
+# pool-sort payload operands (wavefront.py sweep_seed_mode="packed")
+# ---------------------------------------------------------------------------
+
+_BF16_MASK = np.uint32(0xFFFF0000)
+
+
+def _pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two NON-NEGATIVE f32 planes -> one int32 plane (a in the low half,
+    b in the high half). Each value is truncated to bf16; truncation
+    rounds non-negative floats toward zero, i.e. DOWN, which is the sound
+    direction for both uses (demand entries and thr bounds may shrink,
+    never grow)."""
+    ai = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    bi = jax.lax.bitcast_convert_type(b, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        (ai >> 16) | (bi & _BF16_MASK), jnp.int32)
+
+
+def _unpack_bf16_pair(p: jnp.ndarray):
+    pi = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(pi << 16, jnp.float32)
+    b = jax.lax.bitcast_convert_type(pi & _BF16_MASK, jnp.float32)
+    return a, b
+
+
+def _ord_bits(T: int) -> int:
+    """Bits to encode one capped ordinal in 0..T (T = 'no candidate')."""
+    b = 1
+    while (1 << b) <= T:
+        b += 1
+    return b
+
+
+def _keyed_slots(slots: int, key_slots: int) -> int:
+    """How many leading candidate ordinals the bin-sort key(s) already
+    encode: bin_key carries (slot1, slot0) and, in the 2-key flavor,
+    bin_key2 carries slot2."""
+    return 3 if (key_slots >= 3 and slots > 2) else 2
+
+
+def pack_seed(s_o, s_t, thr, T: int, slots: int, key_slots: int):
+    """Compress the dense scan's candidate planes into the minimum pool-
+    sort payload: ordinals the bin key(s) already encode are dropped
+    (re-derived from the sorted keys), the remaining ordinals pack into
+    ONE int32 plane, and the S entry-t planes pack into ceil(S/2) int32
+    planes as truncated-bf16 pairs. thr stays exact f32 (its >=_INF
+    comparison must not be disturbed by rounding — a truncated-INF thr
+    would send every env-miss lane to the tail cast).
+
+    Soundness: unpacked entry-t <= original (truncation of t >= 0), so
+    the sweep kernel's demand mask requests a SUPERSET of slots — extra
+    provably-useless sweeps, identical hits. Why: 31 payload operands
+    never finish the TPU backend compile at 1080p pool sizes while ~24
+    is expected inside the 20-operand shape's compile class
+    (BENCHMARKS §4d compiler-shape rule)."""
+    b = _ord_bits(T)
+    nk = _keyed_slots(slots, key_slots)
+    assert (slots - nk) * b <= 31, \
+        f"{slots - nk} ordinals x {b} bits exceed one int32 (T={T})"
+    enc = None
+    for i in range(nk, slots):
+        o = jnp.minimum(s_o[i], T).astype(jnp.int32)
+        enc = o if enc is None else enc | (o << ((i - nk) * b))
+    ops = () if enc is None else (enc,)
+    for i in range(0, slots, 2):
+        hi = s_t[i + 1] if i + 1 < slots else jnp.zeros_like(s_t[i])
+        ops = ops + (_pack_bf16_pair(s_t[i], hi),)
+    return ops + (thr,)
+
+
+def unpack_seed(keys, packed, T: int, slots: int, key_slots: int):
+    """Inverse of pack_seed given the SORTED key plane(s): returns
+    (s_o tuple, s_t tuple, thr) shaped like the scan's planes. Ordinals
+    round-trip exactly (capped-at-T 'none' values map back to NONE_ORD);
+    entry-t values come back bf16-truncated (<= originals, sound).
+
+    Dead lanes carry the sentinel key 1<<30, whose decoded slot0 can
+    alias a real ordinal — harmless: the sweep kernels force ordinals of
+    t_max <= 0 lanes to NONE_ORD before any sweep (pallas_sweep _tile
+    masking), and those lanes resolve via their exact f32 thr (=_INF
+    from the scan's zeroed t_max)."""
+    two_key = key_slots >= 3 and slots > 2
+    nk = _keyed_slots(slots, key_slots)
+    k = keys[0] if two_key else keys[0] // 8  # strip the octant tertiary
+    s_o = [k % (T + 1), k // (T + 1)]
+    if two_key:
+        s_o.append(keys[1] // 8)
+    rest = packed
+    if slots > nk:
+        b = _ord_bits(T)
+        mask = (1 << b) - 1
+        for i in range(nk, slots):
+            s_o.append((rest[0] >> ((i - nk) * b)) & mask)
+        rest = rest[1:]
+    s_o = tuple(jnp.where(o >= T, jnp.int32(NONE_ORD), o.astype(jnp.int32))
+                for o in s_o[:slots])
+    s_t = []
+    for i in range(0, slots, 2):
+        a, bb = _unpack_bf16_pair(rest[i // 2])
+        s_t.append(a)
+        if i + 1 < slots:
+            s_t.append(bb)
+    return s_o, tuple(s_t), rest[-1]
 
 
 def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,

@@ -257,6 +257,11 @@ def sweep_tables(pack: PacketBVH, unroll: int = 8,
             verts = np.concatenate(
                 [v0, v0 + rows[:, 3:6], v0 + rows[:, 6:9]], axis=0)
             lo, hi = verts.min(0), verts.max(0)
+            # coordinate-relative inflation; f32 slab rounding actually
+            # scales with |origin - box|, so a distant grazing ray can in
+            # principle be culled — the same precision class as the
+            # UN-inflated dense_scan treelet boxes (scan entry-t feeds the
+            # demand mask), so group culling adds no new tolerance
             pad = 1e-6 * np.maximum(np.abs(lo), np.abs(hi)) + 1e-30
             gbox[t * G + g, :3] = lo - pad
             gbox[t * G + g, 3:6] = hi + pad

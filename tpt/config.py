@@ -169,14 +169,20 @@ class RenderConfig:
     # block and trim the dense MT range to the [first, last] hit groups.
     # Results identical (tests); default off until the TPU A/B lands
     sweep_groups: bool = False
-    # split-mode seed sort WITHOUT the 9 slot-plane payload operands
-    # (the wide backend's proven 20-operand compile shape); the slot
-    # planes are regenerated by re-running the dense scan on the sorted
-    # pool (~one extra scan per bounce). Default ON: the 31-operand
-    # payload sort never finishes the TPU backend compile at 1080p pool
-    # sizes (>16 min, killed), while this shape compiles in ~6 min and
-    # is bit-identical (BENCHMARKS §4d)
-    sweep_lean_sort: bool = True
+    # split-mode seed-sort shape (the TPU backend compiler has an operand
+    # cliff: 20-operand pool sorts compile in ~6 min, 31-operand never
+    # finish at 1080p pool sizes — BENCHMARKS §4d):
+    #   "packed" — ONE sort carrying the candidate planes compressed to 4
+    #     extra operands (slots 0/1 re-derived from the bin key, the rest
+    #     packed small-int / truncated-bf16 — sweepcast.pack_seed); one
+    #     dense scan per bounce. Exact (the bf16 truncation only widens
+    #     the kernel's demand mask).
+    #   "lean" — the 20-operand sort with NO slot planes; the planes are
+    #     regenerated by re-running the dense scan on the sorted pool
+    #     (two scans per bounce; the round-3 headline shape).
+    #   "wide" — all 9 slot planes ride the sort (31 operands; CPU/tests
+    #     only — never finishes the TPU compile at benchmark scale).
+    sweep_seed_mode: str = "packed"
     # route shadow (any-hit) rays through the sweep pipeline too
     # (sweepcast.sweep_any_hit: scan + demand sweep in pool order + wide
     # any-hit tail) instead of the wide packet any-hit kernel. Default

@@ -809,22 +809,71 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                             Vec3(drx, dry, drz), Vec3(inx, iny, inz), pidx)
             return sorted_slice + carry[9:]
 
+        @jax.jit
+        def sort_packed(carry, keys, slots_raw):
+            # ONE pool sort carrying the candidate planes compressed to 4
+            # payload operands (sweepcast.pack_seed): 23-24 operands total
+            # vs the 31 that never finish the TPU compile and the lean
+            # shape's 20 + a second full dense scan (BENCHMARKS §4d)
+            from ..bvh.sweepcast import pack_seed
+
+            s_t, s_o, thr = slots_raw
+            packed = pack_seed(s_o, s_t, thr, scene.sweep.num_treelets,
+                               cfg.sweep_slots, cfg.sweep_key_slots)
+            (ori, direction, throughput, last_pdf, state, alive, direct,
+             indirect, pixel_idx) = carry[:9]
+            nk = len(keys)
+            sorted_ops = jax.lax.sort(
+                tuple(keys) + (ori.x, ori.y, ori.z,
+                               direction.x, direction.y, direction.z,
+                               throughput.x, throughput.y, throughput.z,
+                               last_pdf, state, alive.astype(jnp.int32),
+                               direct.x, direct.y, direct.z,
+                               indirect.x, indirect.y, indirect.z,
+                               pixel_idx) + tuple(packed),
+                num_keys=nk)
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
+             drx, dry, drz, inx, iny, inz, pidx) = sorted_ops[nk:nk + 19]
+            sorted_slice = (Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                            Vec3(tx, ty, tz), lp, stt, al != 0,
+                            Vec3(drx, dry, drz), Vec3(inx, iny, inz), pidx)
+            return (sorted_slice + carry[9:], sorted_ops[:nk],
+                    sorted_ops[nk + 19:])
+
         def seed_rest(carry):
-            # two dispatches: scan+sort fused in one program (seed_rest)
-            # hangs the TPU backend compiler at 1080p pool sizes, while
-            # each half compiles in normal time (2026-08-18 diagnosis)
+            # separate dispatches: scan+sort fused in one program hangs
+            # the TPU backend compiler at 1080p pool sizes, while each
+            # half compiles in normal time (2026-08-18 diagnosis)
             keys, slots_raw = scan_rest(carry)
-            if cfg.sweep_lean_sort:
+            if cfg.sweep_seed_mode == "packed":
+                # two dispatches: the candidate planes ride the sort in
+                # packed form and unpack inside the cast program
+                return sort_packed(carry, keys, slots_raw)
+            if cfg.sweep_seed_mode == "lean":
                 # three dispatches: slot planes regenerated post-sort
                 # instead of riding the sort as 9 extra payload operands
                 carry2 = sort_lean(carry, keys)
                 _, (s_t, s_o, thr) = scan_rest(carry2)
                 return carry2, (s_o, s_t, thr)
+            assert cfg.sweep_seed_mode == "wide", cfg.sweep_seed_mode
             return sort_rest(carry, keys, slots_raw)
 
         @jax.jit
         def bounce_rest_sweep(depth, view_proj, prev_view_proj, carry,
                               slots):
+            out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                               prev_view_proj, depth, carry,
+                               first_static=False, sweep_slots=slots)
+            return out, jnp.sum(out[5].astype(jnp.int32))
+
+        @jax.jit
+        def bounce_rest_sweep_packed(depth, view_proj, prev_view_proj,
+                                     carry, keys, packed):
+            # unpack is elementwise and fuses into the cast program
+            from ..bvh.sweepcast import unpack_seed
+
+            slots = unpack_seed(keys, packed, scene.sweep.num_treelets,
+                                cfg.sweep_slots, cfg.sweep_key_slots)
             out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
                                prev_view_proj, depth, carry,
                                first_static=False, sweep_slots=slots)
@@ -851,6 +900,11 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
         if d == 0:
             return bounce_first(view_proj, prev_view_proj, carry)
         if sweep_split:
+            if cfg.sweep_seed_mode == "packed":
+                carry, keys, packed = seed_rest(carry)
+                return bounce_rest_sweep_packed(jnp.int32(depth), view_proj,
+                                                prev_view_proj, carry, keys,
+                                                packed)
             carry, slots = seed_rest(carry)
             return bounce_rest_sweep(jnp.int32(depth), view_proj,
                                      prev_view_proj, carry, slots)
@@ -864,7 +918,8 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
     one_bounce._jit_fns = (bounce_first, bounce_rest, bounce_rest_nosort)
     if sweep_split:
         one_bounce._jit_fns += (scan_rest, sort_rest, sort_lean,
-                                bounce_rest_sweep)
+                                sort_packed, bounce_rest_sweep,
+                                bounce_rest_sweep_packed)
     return one_bounce
 
 
