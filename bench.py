@@ -14,7 +14,10 @@ BENCH_BACKEND / BENCH_SPP / BENCH_SORT_EVERY / BENCH_SWEEP_UNROLL /
 BENCH_TREELET_MT / BENCH_SWEEP_SHADOW / BENCH_SWEEP_KEY_SLOTS /
 BENCH_SWEEP_GROUPS / BENCH_SWEEP_SEED (packed|lean|wide seed-sort shape,
 default packed) — measurement overrides for the config knobs of the same
-name.
+name. BENCH_RR=1 measures the beyond-parity "TPU-native mode" estimator
+(Russian roulette from bounce 3 — RenderConfig.tpu_native; the metric
+name gains an `_rr` suffix so the row never masquerades as the parity
+headline).
 """
 
 import json
@@ -74,10 +77,12 @@ def main() -> int:
     key_slots = int(os.environ.get("BENCH_SWEEP_KEY_SLOTS", "2"))
     sweep_groups = os.environ.get("BENCH_SWEEP_GROUPS") == "1"
     seed_mode = os.environ.get("BENCH_SWEEP_SEED", "packed")
+    rr = os.environ.get("BENCH_RR") == "1"
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
                        sort_every=sort_every, sweep_unroll=sweep_unroll,
                        sweep_shadow=sweep_shadow, sweep_key_slots=key_slots,
-                       sweep_groups=sweep_groups, sweep_seed_mode=seed_mode)
+                       sweep_groups=sweep_groups, sweep_seed_mode=seed_mode,
+                       russian_roulette=rr)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
     acc_d = Vec3.zeros((n,))
@@ -104,7 +109,8 @@ def main() -> int:
           f"{total_rays / dt / 1e6:.1f} MRays/s)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "wavefront_throughput_1080p_143k_tris",
+        "metric": "wavefront_throughput_1080p_143k_tris" + ("_rr" if rr
+                                                            else ""),
         "value": round(mpaths, 4),
         "unit": "Mpaths/s",
         "vs_baseline": round(mpaths / BASELINE_MPATHS, 4),

@@ -53,6 +53,17 @@ class TestCLI:
                    "--iterations", "1", "--out-dir", str(tmp / "bvh")])
         assert rc == 0
 
+    def test_warmup_mode(self, tiny_scene, capsys):
+        """--warmup pre-populates the compile cache (two frames) and
+        exits WITHOUT writing an image (VERDICT r3 next-step 5)."""
+        path, tmp = tiny_scene
+        rc = main([path, "--warmup", "--backend", "brute",
+                   "--out-dir", str(tmp / "warm")])
+        assert rc == 0
+        assert "cache populated" in capsys.readouterr().out
+        assert not [f for f in os.listdir(tmp / "warm")
+                    if f.endswith(".png")]
+
     def test_vis_preview(self, tiny_scene):
         path, tmp = tiny_scene
         rc = main([path, "-vis", "--backend", "brute", "--iterations", "2",

@@ -99,6 +99,9 @@ class TestEnvNEE:
         assert not parity.env_nee
         assert not parity.russian_roulette
         assert parity.trace_depth == 3
+        native = RenderConfig.tpu_native()
+        assert native.russian_roulette and native.env_nee
+        assert native.backend.is_packet and native.spp_batch == 4
 
 
 class TestHeatmapAndCheckpoint:

@@ -45,6 +45,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(default on: measured 46x variance cut for 1.68x "
                         "frame cost on env-lit scenes, BENCHMARKS §8; "
                         "compiled out when the scene has no env map)")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-populate the persistent XLA compile cache "
+                        "for this scene/config and exit (runs one frame; "
+                        "production runs then start without paying cold "
+                        "compile — BENCHMARKS §6b measures minutes for "
+                        "cold sweep-backend shapes)")
     p.add_argument("--out-dir", default=".", help="output directory")
     p.add_argument("--preview-every", type=int, default=10)
     p.add_argument("--display", choices=["result", "normal", "depth", "albedo", "motion"],
@@ -104,6 +110,21 @@ def main(argv=None) -> int:
 
     renderer = Renderer(data, host.camera, cfg)
     os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.warmup:
+        # one real frame compiles every program the production loop
+        # dispatches (raygen, per-bounce seed scan/sort + bounce shapes,
+        # the adaptive-pool ladder steps the first frame's alive counts
+        # touch, SVGF when --denoise) and lands them in the persistent
+        # cache (utils/cache.py). A second frame confirms the steady rate.
+        t0 = time.time()
+        renderer.frame()
+        print(f"[tpt] warmup: compile+first-frame {time.time() - t0:.1f}s")
+        t0 = time.time()
+        renderer.frame()
+        print(f"[tpt] warmup: steady frame {time.time() - t0:.1f}s — "
+              f"cache populated; production runs start warm")
+        return 0
 
     if args.tui:
         from .term_viewer import run_term_viewer

@@ -208,6 +208,20 @@ class RenderConfig:
         return replace(self, **kw)
 
     @classmethod
+    def tpu_native(cls, **kw) -> "RenderConfig":
+        """Best-throughput TPU preset: the measured-fastest backend and
+        pool shape (BENCHMARKS §1) plus Russian roulette — the one
+        estimator-level lever the ceiling analysis names
+        (docs/CEILING_v5e.md §2b); the reference's RR stub is empty
+        (pathtrace.cu:437-438) so this is beyond-parity, published as
+        its own BENCHMARKS row next to the parity headline."""
+        kw.setdefault("backend", RayCastBackend.BVH_SWEEP)
+        kw.setdefault("spp_batch", 4)
+        kw.setdefault("russian_roulette", True)
+        kw.setdefault("rr_start_bounce", 3)
+        return cls(**kw)
+
+    @classmethod
     def reference_parity(cls, **kw) -> "RenderConfig":
         """Estimator-parity preset: every knob that changes the MONTE
         CARLO ESTIMATOR (not just its schedule) pinned to the reference's
