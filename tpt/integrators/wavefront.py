@@ -199,6 +199,40 @@ def _sweep_bin_sort(cfg: RenderConfig, carry_slice, keys, slots_raw):
     return sorted_slice, slots_data
 
 
+def _sweep_sort_packed(scene: SceneData, cfg: RenderConfig, carry_slice,
+                       keys, slots_raw):
+    """BVH_SWEEP seed stage 2, packed flavor: ONE pool sort carrying the
+    candidate planes compressed to ~4 payload operands
+    (sweepcast.pack_seed) — 23-24 operands total vs the 31 that never
+    finish the TPU compile and the lean shape's 20 + a second full dense
+    scan (BENCHMARKS §4d). Returns (sorted carry slice, sorted keys,
+    sorted packed operands); unpack with sweepcast.unpack_seed inside
+    the consuming cast program (elementwise, fuses)."""
+    from ..bvh.sweepcast import pack_seed
+
+    s_t, s_o, thr = slots_raw
+    packed = pack_seed(s_o, s_t, thr, scene.sweep.num_treelets,
+                       cfg.sweep_slots, cfg.sweep_key_slots)
+    (ori, direction, throughput, last_pdf, state, alive, direct,
+     indirect, pixel_idx) = carry_slice
+    nk = len(keys)
+    sorted_ops = jax.lax.sort(
+        tuple(keys) + (ori.x, ori.y, ori.z,
+                       direction.x, direction.y, direction.z,
+                       throughput.x, throughput.y, throughput.z,
+                       last_pdf, state, alive.astype(jnp.int32),
+                       direct.x, direct.y, direct.z,
+                       indirect.x, indirect.y, indirect.z,
+                       pixel_idx) + tuple(packed),
+        num_keys=nk)
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
+     drx, dry, drz, inx, iny, inz, pidx) = sorted_ops[nk:nk + 19]
+    sorted_slice = (Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                    Vec3(tx, ty, tz), lp, stt, al != 0,
+                    Vec3(drx, dry, drz), Vec3(inx, iny, inz), pidx)
+    return sorted_slice, sorted_ops[:nk], sorted_ops[nk + 19:]
+
+
 def _sweep_seed_sort(scene: SceneData, cfg: RenderConfig, carry_slice):
     """The BVH_SWEEP pool-seeding stage: dense treelet scan on the
     unsorted pool, then ONE multi-operand pool sort keyed by the sweep
@@ -383,15 +417,24 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             indirect = indirect + vwhere(miss, throughput * env_l * w_mis,
                                          Vec3.zeros((n,)))
 
-        # first bounce -> G-buffers + motion vectors
+        # first bounce -> G-buffers + motion vectors. G-buffers are
+        # PER-PIXEL (pool_n / spp_batch): sample batch 0 sits in the
+        # raster-order pool PREFIX at bounce 0 (the pool is never sorted
+        # before this), so slicing inputs to the prefix writes exactly
+        # pixel-ordered buffers — and the 10 G-buffer planes never ride
+        # the carry at pool width (spp_batch x the memory; the spp=6
+        # 1080p RESOURCE_EXHAUSTED headroom lives here, BENCHMARKS §4d).
         def write_gbuf(gbuf):
-            sky = miss
-            depth_b = jnp.where(sky, -1000.0, hit.t)
-            normal_b = vwhere(sky, Vec3.zeros((n,)), ng_raw)
-            matid_b = jnp.where(sky, -1, hit_matid)
-            albedo_b = vwhere(sky, Vec3.ones((n,)), mats_tex.basecolor)
-            u_c, v_c, ok_c = project_to_screen_uv(point, view_proj)
-            u_p, v_p, ok_p = project_to_screen_uv(point, prev_view_proj)
+            npx = gbuf.depth.shape[0]
+            pre = lambda a: a[:npx]
+            vpre = lambda v: v.map(lambda c: c[:npx])
+            sky = pre(miss)
+            depth_b = jnp.where(sky, -1000.0, pre(hit.t))
+            normal_b = vwhere(sky, Vec3.zeros((npx,)), vpre(ng_raw))
+            matid_b = jnp.where(sky, -1, pre(hit_matid))
+            albedo_b = vwhere(sky, Vec3.ones((npx,)), vpre(mats_tex.basecolor))
+            u_c, v_c, ok_c = project_to_screen_uv(vpre(point), view_proj)
+            u_p, v_p, ok_p = project_to_screen_uv(vpre(point), prev_view_proj)
             mu = jnp.where(~sky & ok_c & ok_p, (u_c - u_p) * w, 0.0)
             mv = jnp.where(~sky & ok_c & ok_p, (v_c - v_p) * h, 0.0)
             return GBuffers(depth=depth_b, normal=normal_b, mat_id=matid_b,
@@ -528,9 +571,13 @@ def init_carry(cfg: RenderConfig, ori: Vec3, direction: Vec3, state,
     n = ori.shape[0]
     if pixel_idx is None:
         pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    # G-buffers are per-PIXEL, not per-lane: with spp batching the pool
+    # holds spp_batch samples of every pixel but first-bounce buffers
+    # only come from sample batch 0 (see write_gbuf)
     return (ori, direction, Vec3.ones((n,)), jnp.zeros((n,)), state,
             jnp.ones((n,), bool), Vec3.zeros((n,)), Vec3.zeros((n,)),
-            pixel_idx, GBuffers.zeros(n), jnp.zeros((), jnp.int32))
+            pixel_idx, GBuffers.zeros(n // max(1, cfg.spp_batch)),
+            jnp.zeros((), jnp.int32))
 
 
 def finish_carry(cfg: RenderConfig, carry) -> FrameOutput:
@@ -556,9 +603,7 @@ def finish_carry(cfg: RenderConfig, carry) -> FrameOutput:
         # unsorted pool: still S concatenated raster copies
         batch_sum = lambda v: v.map(lambda c: c.reshape(spp, -1).sum(axis=0))
         direct, indirect = batch_sum(direct), batch_sum(indirect)
-    if spp > 1:
-        n_pix = pixel_idx.shape[0] // spp
-        gbuf = jax.tree_util.tree_map(lambda a: a[:n_pix], gbuf)
+    # gbuf is already per-pixel (init_carry sizes it n // spp_batch)
     return FrameOutput(direct=nan_guard(direct), indirect=nan_guard(indirect),
                        gbuf=gbuf, rays_traced=rays)
 
@@ -811,34 +856,9 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
         @jax.jit
         def sort_packed(carry, keys, slots_raw):
-            # ONE pool sort carrying the candidate planes compressed to 4
-            # payload operands (sweepcast.pack_seed): 23-24 operands total
-            # vs the 31 that never finish the TPU compile and the lean
-            # shape's 20 + a second full dense scan (BENCHMARKS §4d)
-            from ..bvh.sweepcast import pack_seed
-
-            s_t, s_o, thr = slots_raw
-            packed = pack_seed(s_o, s_t, thr, scene.sweep.num_treelets,
-                               cfg.sweep_slots, cfg.sweep_key_slots)
-            (ori, direction, throughput, last_pdf, state, alive, direct,
-             indirect, pixel_idx) = carry[:9]
-            nk = len(keys)
-            sorted_ops = jax.lax.sort(
-                tuple(keys) + (ori.x, ori.y, ori.z,
-                               direction.x, direction.y, direction.z,
-                               throughput.x, throughput.y, throughput.z,
-                               last_pdf, state, alive.astype(jnp.int32),
-                               direct.x, direct.y, direct.z,
-                               indirect.x, indirect.y, indirect.z,
-                               pixel_idx) + tuple(packed),
-                num_keys=nk)
-            (ox, oy, oz, dx, dy, dz, tx, ty, tz, lp, stt, al,
-             drx, dry, drz, inx, iny, inz, pidx) = sorted_ops[nk:nk + 19]
-            sorted_slice = (Vec3(ox, oy, oz), Vec3(dx, dy, dz),
-                            Vec3(tx, ty, tz), lp, stt, al != 0,
-                            Vec3(drx, dry, drz), Vec3(inx, iny, inz), pidx)
-            return (sorted_slice + carry[9:], sorted_ops[:nk],
-                    sorted_ops[nk + 19:])
+            sorted_slice, skeys, spacked = _sweep_sort_packed(
+                scene, cfg, carry[:9], keys, slots_raw)
+            return sorted_slice + carry[9:], skeys, spacked
 
         def seed_rest(carry):
             # separate dispatches: scan+sort fused in one program hangs

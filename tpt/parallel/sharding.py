@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import RenderConfig
+from ..config import RayCastBackend, RenderConfig
 from ..core.camera import Camera
 from ..core.vec import Vec3
 from ..denoise.svgf import SVGFState, run_svgf
@@ -178,9 +178,75 @@ def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
                 local, mesh=mesh, in_specs=(P(), _cspec),
                 out_specs=(_cspec, P()), check_vma=False)(prev_vp, carry)
 
+        # BVH_SWEEP bounces >= 1: the seed (dense scan, then the packed
+        # pool sort) dispatches as its own per-shard programs, exactly
+        # like single-chip split mode — a seeded bounce fused into one
+        # program is the shape that hangs the TPU backend compiler
+        # (BENCHMARKS §4d). Per-shard pools are shard-local, so the sort
+        # is a shard-local lax.sort with no collectives.
+        sweep_seeded = (cfg.backend == RayCastBackend.BVH_SWEEP
+                        and cfg.sort_bounce_rays)
+        if sweep_seeded:
+            assert cfg.sweep_seed_mode == "packed", (
+                "multi-chip split mode implements the packed seed shape "
+                "(the production default; lean/wide are single-chip "
+                "A/B flavors)")
+            from ..bvh.sweepcast import unpack_seed
+
+            _T = scene.sweep.num_treelets
+
+            @jax.jit
+            def seed_scan(carry):
+                def local(carry):
+                    return wavefront._sweep_scan_keys(scene_repl, cfg,
+                                                      carry[:9])
+
+                return jax.shard_map(
+                    local, mesh=mesh, in_specs=(_cspec,),
+                    out_specs=P(axis), check_vma=False)(carry)
+
+            @jax.jit
+            def seed_sort(carry, keys, slots_raw):
+                def local(carry, keys, slots_raw):
+                    sl, skeys, spacked = wavefront._sweep_sort_packed(
+                        scene_repl, cfg, carry[:9], keys, slots_raw)
+                    return sl + carry[9:], skeys, spacked
+
+                return jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(_cspec, P(axis), P(axis)),
+                    out_specs=(_cspec, P(axis), P(axis)),
+                    check_vma=False)(carry, keys, slots_raw)
+
+            def one_bounce_seeded(depth_static, prev_vp, carry, keys,
+                                  packed):
+                def local(prev_vp, carry, keys, packed):
+                    slots = unpack_seed(keys, packed, _T, cfg.sweep_slots,
+                                        cfg.sweep_key_slots)
+                    out = wavefront._bounce_body(
+                        scene_repl, raycaster, cam, cfg, vp, prev_vp,
+                        jnp.int32(depth_static), carry,
+                        first_static=False, sweep_slots=slots)
+                    alive = jax.lax.psum(
+                        jnp.sum(out[5].astype(jnp.int32)), axis)
+                    return out, alive
+
+                return jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), _cspec, P(axis), P(axis)),
+                    out_specs=(_cspec, P()), check_vma=False)(
+                        prev_vp, carry, keys, packed)
+
         bounce_jits = {}
 
         def bounce_at(depth, prev_vp, carry):
+            if sweep_seeded and depth > 0:
+                keys, slots_raw = seed_scan(carry)
+                carry, keys, packed = seed_sort(carry, keys, slots_raw)
+                if depth not in bounce_jits:
+                    bounce_jits[depth] = jax.jit(
+                        partial(one_bounce_seeded, depth))
+                return bounce_jits[depth](prev_vp, carry, keys, packed)
             if depth not in bounce_jits:
                 bounce_jits[depth] = jax.jit(
                     partial(one_bounce, depth))
