@@ -15,7 +15,10 @@ Prints one JSON line per preview scale:
 Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/preview_fps.py
 
 Env: PF_RES (1920x1080), PF_TRIS (143000), PF_DEPTH (3 — the viewer's
-navigation depth), PF_SCALES ("4 6 8"), PF_FRAMES (20).
+navigation depth), PF_SCALES ("4 6 8"), PF_FRAMES (20), PF_ENGINE
+("wave" | "mega" — engine for the PREVIEW renderer; mega runs the whole
+preview frame as one fused dispatch, the queue-10 finding that the
+preview floor is dispatch count, BENCHMARKS §7b).
 """
 
 import json
@@ -31,7 +34,7 @@ def main():
 
     enable_persistent_cache()
 
-    from tpt.config import RayCastBackend, RenderConfig
+    from tpt.config import RayCastBackend, RenderConfig, RenderMode
     from tpt.engine import Renderer
     from tpt.scene import procedural
     from tpt.viewer import make_preview_renderer, view_from_yaw_pitch, \
@@ -55,11 +58,14 @@ def main():
     scene = host.build(with_bvh=True)
     print(f"[pf] scene ready ({time.time() - t0:.0f}s)", file=sys.stderr)
 
+    engine = os.environ.get("PF_ENGINE", "wave")
+    pmode = RenderMode.MEGAKERNEL if engine == "mega" else None
+
     cfg = RenderConfig(backend=backend, trace_depth=depth)
     full = Renderer(scene, host.camera, cfg)
 
     for scale in scales:
-        prev = make_preview_renderer(full, scale=scale)
+        prev = make_preview_renderer(full, scale=scale, mode=pmode)
         yaw, pitch = yaw_pitch_from_view(
             np.asarray(host.camera.view, np.float64))
 
@@ -88,7 +94,8 @@ def main():
         ms = float(np.median(ts)) * 1e3
         pw, ph = prev.cam.resolution
         print(json.dumps({
-            "metric": f"preview_nav_frame s{scale} {pw}x{ph} d{depth}",
+            "metric": (f"preview_nav_frame s{scale} {pw}x{ph} d{depth}"
+                       + (f" {engine}" if engine != "wave" else "")),
             "value": round(ms, 1), "unit": "ms",
             "fps": round(1e3 / ms, 1),
         }))

@@ -22,21 +22,29 @@ from .engine import Renderer
 from .io.image import save_png, tonemap
 
 
-def make_preview_renderer(renderer: Renderer, scale: int = 4) -> Renderer:
+def make_preview_renderer(renderer: Renderer, scale: int = 4,
+                          mode=None) -> Renderer:
     """A second engine at 1/scale resolution sharing the scene, used for
     fast feedback while the camera is moving (the reference's GPU renders
     every frame interactively, preview.cpp:175-198; at TPU frame costs the
     viewer instead drops resolution by scale^2 during navigation and lets
     the full-res engine re-accumulate once the camera rests). Camera moves
     on BOTH engines are zero-recompile (CamArrays runtime args), so
-    navigation costs no retraces after the first preview frame."""
+    navigation costs no retraces after the first preview frame.
+
+    `mode` overrides the preview engine's RenderMode: at preview sizes
+    the whole pixel pool fits one megakernel tile, so MEGAKERNEL runs
+    the frame as ONE fused dispatch instead of the wavefront's dozens —
+    the preview frame floor is dispatch count, not ray work
+    (BENCHMARKS §7b)."""
     cam = renderer.cam
     w, h = cam.resolution
     from .core.camera import Camera
 
     small = Camera.build((max(16, w // scale), max(16, h // scale)),
                          cam.position, cam.look_at, cam.up, cam.fovy_deg)
-    return Renderer(renderer.scene, small, renderer.cfg)
+    cfg = renderer.cfg if mode is None else renderer.cfg.with_(mode=mode)
+    return Renderer(renderer.scene, small, cfg)
 
 
 def yaw_pitch_from_view(view) -> tuple:
