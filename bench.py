@@ -13,8 +13,9 @@ Env knobs: BENCH_FRAMES (default 3), BENCH_FAST=1 (tiny scene, smoke only),
 BENCH_BACKEND / BENCH_SPP / BENCH_SORT_EVERY / BENCH_SWEEP_UNROLL /
 BENCH_TREELET_MT / BENCH_SWEEP_SHADOW / BENCH_SWEEP_KEY_SLOTS /
 BENCH_SWEEP_GROUPS / BENCH_SWEEP_SEED (packed|lean|wide seed-sort shape,
-default packed) — measurement overrides for the config knobs of the same
-name. BENCH_RR=1 measures the beyond-parity "TPU-native mode" estimator
+default packed) / BENCH_DONATE=1 (donate the pool carry into every split
+dispatch — the HBM-peak lever for spp_batch > 4) — measurement overrides
+for the config knobs of the same name. BENCH_RR=1 measures the beyond-parity "TPU-native mode" estimator
 (Russian roulette from bounce 3 — RenderConfig.tpu_native; the metric
 name gains an `_rr` suffix so the row never masquerades as the parity
 headline).
@@ -78,11 +79,12 @@ def main() -> int:
     sweep_groups = os.environ.get("BENCH_SWEEP_GROUPS") == "1"
     seed_mode = os.environ.get("BENCH_SWEEP_SEED", "packed")
     rr = os.environ.get("BENCH_RR") == "1"
+    donate = os.environ.get("BENCH_DONATE") == "1"
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
                        sort_every=sort_every, sweep_unroll=sweep_unroll,
                        sweep_shadow=sweep_shadow, sweep_key_slots=key_slots,
                        sweep_groups=sweep_groups, sweep_seed_mode=seed_mode,
-                       russian_roulette=rr)
+                       russian_roulette=rr, donate_pool=donate)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels
     acc_d = Vec3.zeros((n,))

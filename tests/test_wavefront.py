@@ -134,6 +134,23 @@ class TestRaySorting:
         close = np.isclose(img_p, img_x, atol=5e-3).mean()
         assert close > 0.99, close
 
+    @pytest.mark.slow
+    def test_donate_pool_matches_default(self):
+        """cfg.donate_pool threads the pool carry through the split
+        dispatches as donated buffers (the HBM-peak lever for
+        spp_batch > 4). Donation must be value-neutral, and the frame
+        loop must never touch an invalidated buffer — this drives the
+        full packed-sweep seed chain (scan / donated sort / donated
+        seeded bounce / donated finish) on the headline backend."""
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=True)
+        data = scene.build(with_bvh=True, treelet_max_tris=256)
+        base = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=3,
+                            sort_bounce_rays=True, spp_batch=2)
+        img = wavefront.render(data, scene.camera, base, iterations=2)
+        img_d = wavefront.render(data, scene.camera,
+                                 base.with_(donate_pool=True), iterations=2)
+        np.testing.assert_array_equal(img_d, img)
+
     def test_spp_batch_matches_sequential(self):
         """spp_batch=S traces S jittered samples of every pixel in ONE
         pool (richer coherence sort at the same per-path sort cost); the

@@ -196,6 +196,15 @@ class RenderConfig:
     # re-cast only the misses unbounded. 0 disables. Interiors hit mostly
     # nearby geometry, so pass 2 runs with most lanes dead.
     nearfield_frac: float = 0.0
+    # donate the path-pool carry (and seed keys/planes) into the split
+    # per-bounce dispatches: XLA aliases the input buffers into the
+    # outputs, cutting the frame's HBM peak by roughly one pool copy per
+    # live dispatch (~1-2 GB at 1080p spp 4-6) — the capacity lever for
+    # spp_batch > 4. The pool is threaded linearly through the frame
+    # loop so donation is sound there; OFF by default because tools that
+    # re-dispatch a saved carry (benchmarks/sweep_breakdown.py's timing
+    # reps) would hit invalidated buffers.
+    donate_pool: bool = False
     # synthetic shading cost for the megakernel-vs-wavefront stress study
     # (reference keeps it as commented code — interactions.cu:255-321)
     heavy_shading_iters: int = 0

@@ -32,6 +32,7 @@ SVGF (/root/reference/src/kernels/logic.cu:67-138).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -693,7 +694,8 @@ def make_frame_fn(scene: SceneData, cam: Camera, cfg: RenderConfig,
     bounce_fn = _make_bounce_fn(scene, raycaster, cam, cfg,
                                 raycaster_primary=raycaster_primary)
 
-    @jax.jit
+    @(partial(jax.jit, donate_argnums=(0,)) if cfg.donate_pool
+      else jax.jit)
     def finish(carry, acc_direct, acc_indirect):
         out = finish_carry(cfg, carry)
         return out, acc_direct + out.direct, acc_indirect + out.indirect
@@ -791,17 +793,31 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
     Depth is known on the host in split mode, so bounce 0 gets its own
     program: the primary-tuned traversal kernel (large packet group —
-    raster rays are coherent), no sort, unconditional G-buffer write."""
+    raster rays are coherent), no sort, unconditional G-buffer write.
+
+    With cfg.donate_pool each dispatch donates its pool-width inputs
+    (the carry, and in sweep mode the seed keys/planes — each a
+    last-use in the frame loop), so XLA aliases them into the outputs
+    instead of double-buffering the ~630 MB pool across every dispatch
+    boundary."""
     ray0 = raycaster_primary or raycaster
 
-    @jax.jit
+    def jit_d(*donate):
+        # donate_argnums only when the config opts in: tools that
+        # re-dispatch a saved carry (sweep_breakdown timing reps) need
+        # the default non-donating programs
+        if cfg.donate_pool:
+            return partial(jax.jit, donate_argnums=donate)
+        return jax.jit
+
+    @jit_d(2)
     def bounce_first(view_proj, prev_view_proj, carry):
         out = _bounce_body(scene, ray0, cam, cfg, view_proj,
                            prev_view_proj, jnp.int32(0), carry,
                            first_static=True)
         return out, jnp.sum(out[5].astype(jnp.int32))
 
-    @jax.jit
+    @jit_d(3)
     def bounce_rest(depth, view_proj, prev_view_proj, carry):
         out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
                            prev_view_proj, depth, carry,
@@ -825,13 +841,13 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
             keys, slots_raw = _sweep_scan_keys(scene, cfg, carry[:9])
             return keys, slots_raw
 
-        @jax.jit
+        @jit_d(0, 1, 2)
         def sort_rest(carry, keys, slots_raw):
             sorted_slice, slots = _sweep_bin_sort(cfg, carry[:9], keys,
                                                   slots_raw)
             return sorted_slice + carry[9:], slots
 
-        @jax.jit
+        @jit_d(0, 1)
         def sort_lean(carry, keys):
             # the wide backend's proven 20-operand pool-sort shape: slot
             # planes do NOT ride the sort — seed_rest regenerates them
@@ -854,7 +870,7 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                             Vec3(drx, dry, drz), Vec3(inx, iny, inz), pidx)
             return sorted_slice + carry[9:]
 
-        @jax.jit
+        @jit_d(0, 1, 2)
         def sort_packed(carry, keys, slots_raw):
             sorted_slice, skeys, spacked = _sweep_sort_packed(
                 scene, cfg, carry[:9], keys, slots_raw)
@@ -878,7 +894,7 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
             assert cfg.sweep_seed_mode == "wide", cfg.sweep_seed_mode
             return sort_rest(carry, keys, slots_raw)
 
-        @jax.jit
+        @jit_d(3, 4)
         def bounce_rest_sweep(depth, view_proj, prev_view_proj, carry,
                               slots):
             out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
@@ -886,7 +902,7 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                                first_static=False, sweep_slots=slots)
             return out, jnp.sum(out[5].astype(jnp.int32))
 
-        @jax.jit
+        @jit_d(3, 4, 5)
         def bounce_rest_sweep_packed(depth, view_proj, prev_view_proj,
                                      carry, keys, packed):
             # unpack is elementwise and fuses into the cast program
@@ -902,7 +918,7 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
     se = max(1, cfg.sort_every)
     cadence_on = se > 1 and cfg.backend == RayCastBackend.BVH_PALLAS
 
-    @jax.jit
+    @jit_d(3)
     def bounce_rest_nosort(depth, view_proj, prev_view_proj, carry):
         out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
                            prev_view_proj, depth, carry,
