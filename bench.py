@@ -13,8 +13,9 @@ Env knobs: BENCH_FRAMES (default 3), BENCH_FAST=1 (tiny scene, smoke only),
 BENCH_BACKEND / BENCH_SPP / BENCH_SORT_EVERY / BENCH_SWEEP_UNROLL /
 BENCH_TREELET_MT / BENCH_SWEEP_SHADOW / BENCH_SWEEP_KEY_SLOTS /
 BENCH_SWEEP_GROUPS / BENCH_SWEEP_SEED (packed|lean|wide seed-sort shape,
-default packed) / BENCH_DONATE=1 (donate the pool carry into every split
-dispatch — the HBM-peak lever for spp_batch > 4) — measurement overrides
+default packed) / BENCH_DONATE (donate the pool carry into every split
+dispatch — the HBM-peak lever that lets spp_batch=6 fit; defaults ON for
+the TPU headline, BENCH_DONATE=0 to disable) — measurement overrides
 for the config knobs of the same name. BENCH_RR=1 measures the beyond-parity "TPU-native mode" estimator
 (Russian roulette from bounce 3 — RenderConfig.tpu_native; the metric
 name gains an `_rr` suffix so the row never masquerades as the parity
@@ -69,17 +70,22 @@ def main() -> int:
     print(f"[bench] scene ready: {host.mesh.num_triangles} tris, "
           f"backend={backend.name} ({time.time() - t0:.1f}s)", file=sys.stderr)
 
-    # spp_batch=4 is the measured-best headline config (BENCHMARKS §1:
-    # 4 samples/pixel per wavefront pool -> richer coherence sort, 1.45x
-    # over spp=1; spp=8 OOMs HBM at 1080p).
-    spp = int(os.environ.get("BENCH_SPP", "1" if fast else "4"))
+    # spp_batch=6 + donate_pool is the measured-best headline config
+    # (BENCHMARKS §1/§4f: 6 samples/pixel per wavefront pool -> richer
+    # coherence sort, 0.4427 vs 0.4123 at spp=4; spp=6 only fits HBM at
+    # 1080p with the pool carry donated across split dispatches — queue
+    # 11's undonated spp=6 hit RESOURCE_EXHAUSTED). Off-TPU keep spp=4:
+    # donation is a no-op there and the CPU mesh is memory-tight.
+    spp_default = "1" if fast else ("6" if on_tpu else "4")
+    spp = int(os.environ.get("BENCH_SPP", spp_default))
     sort_every = int(os.environ.get("BENCH_SORT_EVERY", "1"))
     sweep_shadow = os.environ.get("BENCH_SWEEP_SHADOW") == "1"
     key_slots = int(os.environ.get("BENCH_SWEEP_KEY_SLOTS", "2"))
     sweep_groups = os.environ.get("BENCH_SWEEP_GROUPS") == "1"
     seed_mode = os.environ.get("BENCH_SWEEP_SEED", "packed")
     rr = os.environ.get("BENCH_RR") == "1"
-    donate = os.environ.get("BENCH_DONATE") == "1"
+    donate_default = "1" if (on_tpu and not fast) else "0"
+    donate = os.environ.get("BENCH_DONATE", donate_default) == "1"
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
                        sort_every=sort_every, sweep_unroll=sweep_unroll,
                        sweep_shadow=sweep_shadow, sweep_key_slots=key_slots,

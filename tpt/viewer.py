@@ -23,7 +23,7 @@ from .io.image import save_png, tonemap
 
 
 def make_preview_renderer(renderer: Renderer, scale: int = 4,
-                          mode=None) -> Renderer:
+                          mode=None, nav_depth: int = 0) -> Renderer:
     """A second engine at 1/scale resolution sharing the scene, used for
     fast feedback while the camera is moving (the reference's GPU renders
     every frame interactively, preview.cpp:175-198; at TPU frame costs the
@@ -36,14 +36,21 @@ def make_preview_renderer(renderer: Renderer, scale: int = 4,
     the whole pixel pool fits one megakernel tile, so MEGAKERNEL runs
     the frame as ONE fused dispatch instead of the wavefront's dozens —
     the preview frame floor is dispatch count, not ray work
-    (BENCHMARKS §7b)."""
+    (BENCHMARKS §7b). `nav_depth` > 0 caps the preview trace depth (the
+    other half of the measured operating point: depth 2 is what breaks
+    the dispatch floor, 357 -> 162 ms at 240x135)."""
     cam = renderer.cam
     w, h = cam.resolution
     from .core.camera import Camera
 
     small = Camera.build((max(16, w // scale), max(16, h // scale)),
                          cam.position, cam.look_at, cam.up, cam.fovy_deg)
-    cfg = renderer.cfg if mode is None else renderer.cfg.with_(mode=mode)
+    kw = {}
+    if mode is not None:
+        kw["mode"] = mode
+    if nav_depth > 0:
+        kw["trace_depth"] = min(nav_depth, renderer.cfg.trace_depth)
+    cfg = renderer.cfg.with_(**kw) if kw else renderer.cfg
     return Renderer(renderer.scene, small, cfg)
 
 
@@ -128,12 +135,14 @@ class CameraRig:
 def run_viewer(renderer: Renderer, max_frames: int = 0,
                out_dir: str = ".", snapshot_every: int = 10,
                interactive: Optional[bool] = None,
-               preview_scale: int = 4) -> None:
+               preview_scale: int = 8) -> None:
     """Progressive render loop. Keyboard (interactive matplotlib):
     1-5 display channels, d toggles denoiser, s saves, q quits —
     mirroring the reference key bindings (main.cpp:347-408). While the
-    camera moves, frames come from a 1/preview_scale-resolution engine
-    (scale^2 fewer paths) for responsive navigation; set 1 to disable."""
+    camera moves, frames come from a 1/preview_scale-resolution
+    depth-2 MEGAKERNEL engine (the measured v5e operating point:
+    240x135 @ 6.2 FPS from 1080p, BENCHMARKS §7b) for responsive
+    navigation; set preview_scale=1 to disable."""
     if interactive is None:
         interactive = bool(os.environ.get("DISPLAY"))
 
@@ -159,7 +168,11 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
     fig, ax = plt.subplots(figsize=(8, 8))
     fig.canvas.manager.set_window_title("tpt viewer")
     state = {"quit": False}
-    preview = (make_preview_renderer(renderer, preview_scale)
+    from .config import RenderMode
+
+    preview = (make_preview_renderer(renderer, preview_scale,
+                                     mode=RenderMode.MEGAKERNEL,
+                                     nav_depth=2)
                if preview_scale > 1 else None)
     rig = CameraRig(renderer, preview)
     move_camera = rig.move
