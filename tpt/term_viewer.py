@@ -142,7 +142,7 @@ def _read_available(stream, tty: bool) -> bytes:
 
 
 def run_term_viewer(renderer: Renderer, max_frames: int = 0,
-                    out_dir: str = ".", preview_scale: int = 4,
+                    out_dir: str = ".", preview_scale: int = 8,
                     in_stream: Optional[IO] = None,
                     out_stream: Optional[IO] = None,
                     size: Optional[tuple] = None,
