@@ -13,7 +13,9 @@ Env knobs: BENCH_FRAMES (default 3), BENCH_FAST=1 (tiny scene, smoke only),
 BENCH_BACKEND / BENCH_SPP / BENCH_SORT_EVERY / BENCH_SWEEP_UNROLL /
 BENCH_TREELET_MT / BENCH_SWEEP_SHADOW / BENCH_SWEEP_KEY_SLOTS /
 BENCH_SWEEP_GROUPS / BENCH_SWEEP_SEED (packed|lean|wide seed-sort shape,
-default packed) / BENCH_DONATE (donate the pool carry into every split
+default packed) / BENCH_SWEEP_CASCADE=1 + BENCH_SWEEP_CASCADE_FRAC
+(two-phase cascade sweep — phase-2 re-bin of the unresolved minority,
+cfg.sweep_cascade) / BENCH_DONATE (donate the pool carry into every split
 dispatch — the HBM-peak lever that lets spp_batch=6 fit; defaults ON for
 the TPU headline, BENCH_DONATE=0 to disable) — measurement overrides
 for the config knobs of the same name. BENCH_RR=1 measures the beyond-parity "TPU-native mode" estimator
@@ -86,10 +88,14 @@ def main() -> int:
     rr = os.environ.get("BENCH_RR") == "1"
     donate_default = "1" if (on_tpu and not fast) else "0"
     donate = os.environ.get("BENCH_DONATE", donate_default) == "1"
+    cascade = os.environ.get("BENCH_SWEEP_CASCADE") == "1"
+    cascade_frac = float(os.environ.get("BENCH_SWEEP_CASCADE_FRAC", "0.5"))
     cfg = RenderConfig(backend=backend, trace_depth=depth, spp_batch=spp,
                        sort_every=sort_every, sweep_unroll=sweep_unroll,
                        sweep_shadow=sweep_shadow, sweep_key_slots=key_slots,
                        sweep_groups=sweep_groups, sweep_seed_mode=seed_mode,
+                       sweep_cascade=cascade,
+                       sweep_cascade_frac=cascade_frac,
                        russian_roulette=rr, donate_pool=donate)
     frame, vp = wavefront.make_frame_fn(data, host.camera, cfg)
     n = host.camera.num_pixels

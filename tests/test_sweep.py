@@ -7,6 +7,7 @@ brute-force closest hit exactly (same Moller-Trumbore, same table).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -594,3 +595,102 @@ class TestPackedSeed:
             TestPackedSeed._ref_img = img
         np.testing.assert_allclose(img, TestPackedSeed._ref_img,
                                    atol=1e-6)
+
+
+class TestSweepCascade:
+    """Two-phase cascade sweep (sweepcast.cascade_phase1/2): phase 1
+    sweeps only the key-coherent slots 0-1, the unresolved minority is
+    compacted + re-bin-sorted and swept again. Exactness contract is
+    unchanged — every test here pins it against brute force."""
+
+    def _rays(self, host, scene, seed=31):
+        return TestSweepCast2._bounce_rays(TestSweepCast2(), host, scene,
+                                           seed=seed)
+
+    def test_bounce_rays_match_brute_force(self, sweep_scene):
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = self._rays(host, scene)
+        got = sweep_cast(pack, sweep, o2, nd, t_max, cascade=True)
+        ref = brute_force_closest_hit(scene.mesh, o2, nd,
+                                      jnp.where(t_max > 0, t_max, 0.0))
+        ref_tri = np.where(np.asarray(t_max) > 0, np.asarray(ref.tri), -1)
+        np.testing.assert_array_equal(np.asarray(got.tri), ref_tri)
+        m = ref_tri >= 0
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-5)
+
+    def test_matches_one_shot_sweep(self, sweep_scene):
+        """Cascade and the one-shot demand sweep are both exact — hits
+        must be identical (same kernels, same tie class)."""
+        from tpt.bvh.sweepcast import sweep_cast
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = self._rays(host, scene, seed=13)
+        got_c = sweep_cast(pack, sweep, o2, nd, t_max, cascade=True)
+        got_1 = sweep_cast(pack, sweep, o2, nd, t_max)
+        np.testing.assert_array_equal(np.asarray(got_c.tri),
+                                      np.asarray(got_1.tri))
+        np.testing.assert_array_equal(np.asarray(got_c.t),
+                                      np.asarray(got_1.t))
+
+    def test_prefix_overflow_falls_to_tail(self, sweep_scene):
+        """A phase-2 prefix far smaller than the unresolved count leaves
+        the overflow lanes unresolved; they must be finished exactly by
+        the wide tail (its own full-pool fallback included)."""
+        from tpt.bvh.pallas_sweep import dense_scan
+        from tpt.bvh.sweepcast import (bin_key, cascade_phase1,
+                                       cascade_phase2, cascade_sort)
+        host, scene, pack, sweep = sweep_scene
+        o2, nd, t_max = self._rays(host, scene, seed=29)
+        tm = jnp.where(t_max > 0, t_max, 0.0)
+        s_t, s_o, thr = dense_scan(sweep, o2, nd, tm)
+        # bin-sort the pool exactly as sweep_cast does
+        n = o2.x.shape[0]
+        key = bin_key(tuple(s_o), nd, sweep.num_treelets, 4)
+        ops = jax.lax.sort(
+            (key, o2.x, o2.y, o2.z, nd.x, nd.y, nd.z, tm,
+             *(s_o[i] for i in range(4)), *(s_t[i] for i in range(4)),
+             thr, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        ori_s = Vec3(ops[1], ops[2], ops[3])
+        d_s = Vec3(ops[4], ops[5], ops[6])
+        tm_s = ops[7]
+        so_s = tuple(ops[8:12])
+        st_s = tuple(ops[12:16])
+        thr_s, idx_s = ops[16], ops[17]
+        hit1, res1, bundle, n_unres = cascade_phase1(
+            sweep, ori_s, d_s, tm_s, so_s, st_s, thr_s, prefix=128)
+        assert int(n_unres) > 128, "test needs a real overflow"
+        hit = cascade_phase2(pack, sweep, ori_s, d_s, tm_s, thr_s, hit1,
+                             res1, cascade_sort(bundle), n_unres, 4)
+        # unsort and compare with brute force
+        _, t, tri, u, v = jax.lax.sort(
+            (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1)
+        ref = brute_force_closest_hit(scene.mesh, o2, nd, tm)
+        ref_tri = np.where(np.asarray(t_max) > 0, np.asarray(ref.tri), -1)
+        np.testing.assert_array_equal(np.asarray(tri), ref_tri)
+
+    def test_render_cascade_parity(self):
+        """cfg.sweep_cascade flows through the split-mode dispatch chain
+        (cascade_pre / cascade_sort / bounce_rest_cascade) and must
+        render the exact image of the one-shot sweep backend."""
+        import tpt
+        from tpt.core.vec import Vec3 as V3
+        from tpt.integrators import wavefront
+
+        host = procedural.cornell_box(resolution=(24, 24), spheres=True)
+        scene = host.build(with_bvh=True, treelet_max_tris=256)
+        imgs = []
+        for casc in (False, True):
+            cfg = tpt.RenderConfig(backend=tpt.RayCastBackend.BVH_SWEEP,
+                                   trace_depth=3, iterations=2,
+                                   sweep_cascade=casc)
+            frame, vp = wavefront.make_frame_fn(scene, host.camera, cfg,
+                                                split_bounces=True)
+            acc_d = V3.zeros((host.camera.num_pixels,))
+            acc_i = V3.zeros((host.camera.num_pixels,))
+            for it in (1, 2):
+                _, acc_d, acc_i = frame(jnp.uint32(it), vp, acc_d, acc_i)
+            w, h = host.camera.resolution
+            imgs.append(np.asarray(
+                (acc_d + acc_i).stacked().reshape(h, w, 3)) / 2.0)
+        np.testing.assert_allclose(imgs[1], imgs[0], atol=1e-6)

@@ -277,22 +277,157 @@ def _tail_compact_cast(pack: PacketBVH, ori: Vec3, d: Vec3,
     return HitRecord(t=tt, tri=ttri, u=tu, v=tv)
 
 
+# ---------------------------------------------------------------------------
+# Cascade sweep: the round-4 union-width attack. The bin sort makes a
+# 128-lane block agree on slots 0-1 (they ARE the sort key), but slots
+# 2-3 diverge lane-by-lane — measured block unions of 14-19 treelets
+# where slots 0-1 alone need ~2-4 (BENCHMARKS §4d). Phase 1 sweeps ONLY
+# the key-coherent slots; the unresolved minority is compacted to a
+# dense prefix, re-sorted by (slot3, slot2, octant) — so phase 2's
+# blocks agree on THEIR slots too — and swept again. Unlike the global
+# treelet re-binning that measured negative (§4c), the phase-2
+# population is a compacted fraction with an exact, scan-bounded
+# candidate list, not a re-traversal whose union regrows.
+#
+# The three phases are separate functions because the phase-2 sort must
+# be its OWN dispatch on TPU (fusing a multi-operand lax.sort with any
+# Pallas stage never finishes the backend compile — §4d compiler rule);
+# sweep_cast_sorted(cascade=True) fuses them for tests / CPU use.
+# ---------------------------------------------------------------------------
+
+
+def _cascade_prefix(n: int, frac: float) -> int:
+    """Static phase-2 prefix size: frac of the pool, tile-aligned."""
+    return min(n, max(1024, -(-int(n * frac) // 1024) * 1024))
+
+
+def cascade_phase1(sweep: SweepTables, ori: Vec3, d: Vec3,
+                   t_max: jnp.ndarray, s_o, s_t, thr, prefix: int,
+                   unroll: int = 4, groups: bool = False):
+    """Phase 1: demand-sweep the two key-coherent candidate slots, then
+    compact the unresolved lanes into a dense prefix for phase 2.
+
+    A lane resolves in phase 1 iff its best hit precedes every candidate
+    the sweep did not cover: slots >= 2 (entry >= s_t[2], ascending) and
+    the uncaptured bound thr. bf16-truncated entry-t (packed seed) only
+    shrinks s_t[2], making the test conservative — sound.
+
+    Returns (hit1, resolved1, bundle) where bundle = (key2, ox..dz, tm2,
+    rest ordinals, rest entries, ti) at the static prefix size plus the
+    unresolved count — ready for cascade_sort. Lanes past the prefix
+    (overflow) stay unresolved and fall to the wide tail's own fallback."""
+    n = ori.x.shape[0]
+    nslots = len(s_o)
+    assert nslots > 2, "cascade needs > 2 candidate slots"
+    hit1 = sweep8_closest_hit(sweep, ori, d, t_max,
+                              (s_o[0], s_o[1]), (s_t[0], s_t[1]),
+                              unroll_chunks=unroll, use_groups=groups)
+    best1 = jnp.where(hit1.tri >= 0, hit1.t, FLT_MAX)
+    bound = jnp.minimum(s_t[2], thr)
+    resolved1 = (bound >= _INF) | (best1 <= bound)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    unres = ~resolved1
+    n_unres = jnp.sum(unres.astype(jnp.int32))
+    P = prefix
+    dst = jnp.where(unres, jnp.cumsum(unres.astype(jnp.int32)) - 1, P)
+    ti = jnp.zeros((P + 1,), jnp.int32).at[
+        jnp.minimum(dst, P)].set(pos, mode="drop")[:P]
+    live_slot = jnp.arange(P, dtype=jnp.int32) < jnp.minimum(n_unres, P)
+    g = lambda a: jnp.take(a, ti)
+    # phase-2 budget: the lane's current best caps any useful hit; dead
+    # (unfilled alias-lane-0) slots are killed outright
+    tm2 = jnp.where(live_slot, g(jnp.minimum(best1, t_max)), 0.0)
+    d2 = Vec3(g(d.x), g(d.y), g(d.z))
+    key2 = bin_key(tuple(g(s_o[i]) for i in range(2, nslots)), d2,
+                   sweep.num_treelets, nslots - 2)
+    bundle = (key2, g(ori.x), g(ori.y), g(ori.z), d2.x, d2.y, d2.z, tm2,
+              *(g(s_o[i]) for i in range(2, nslots)),
+              *(g(s_t[i]) for i in range(2, nslots)), ti)
+    return hit1, resolved1, bundle, n_unres
+
+
+def cascade_sort(bundle):
+    """Phase-2 bin sort: key = (slot3, slot2, octant) over the compacted
+    prefix. Dispatch this as its OWN program on TPU (compiler rule)."""
+    return jax.lax.sort(bundle, num_keys=1)
+
+
+def cascade_phase2(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
+                   t_max: jnp.ndarray, thr, hit1: HitRecord, resolved1,
+                   sorted_bundle, n_unres, nslots: int,
+                   tail: bool = True, tail_prefix: int = 0,
+                   unroll: int = 4, tail_compact: str = "scatter",
+                   groups: bool = False) -> HitRecord:
+    """Phase 2: demand-sweep the re-binned rest slots over the compacted
+    prefix, scatter winners back, resolve exactly, and finish with the
+    compacted wide tail. ori/d/t_max/thr are the FULL pool planes (the
+    caller's lane order); returns hits in that order."""
+    (_, ox, oy, oz, dx, dy, dz, tm2) = sorted_bundle[:8]
+    rest = sorted_bundle[8:]
+    n_rest = nslots - 2
+    so2 = tuple(rest[:n_rest])
+    st2 = tuple(rest[n_rest:2 * n_rest])
+    ti = rest[2 * n_rest]
+    n = ori.x.shape[0]
+    P = ti.shape[0]
+
+    hit2 = sweep8_closest_hit(sweep, Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                              tm2, so2, st2, unroll_chunks=unroll,
+                              use_groups=groups)
+    live_slot = tm2 > 0.0
+    win2 = (hit2.tri >= 0) & live_slot
+    # only winners write back (dead slots alias lane 0 post-sort too)
+    ti_w = jnp.where(win2, ti, n)
+    merge = lambda cur, new: cur.at[ti_w].set(new, mode="drop")
+    hit = HitRecord(t=merge(hit1.t, hit2.t),
+                    tri=merge(hit1.tri, hit2.tri),
+                    u=merge(hit1.u, hit2.u), v=merge(hit1.v, hit2.v))
+    # lanes whose rest-slots were actually swept (in the prefix) are now
+    # exact up to thr; overflow lanes stay unresolved for the tail
+    ti_c = jnp.where(live_slot, ti, n)
+    completed = jnp.zeros((n,), bool).at[ti_c].set(True, mode="drop")
+    best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
+    resolved = resolved1 | (completed & ((thr >= _INF) | (best <= thr)))
+    if tail:
+        tail_tm = jnp.where(resolved, 0.0, jnp.minimum(best, t_max))
+        return _tail_compact_cast(pack, ori, d, hit, resolved, tail_tm,
+                                  tail_prefix, compact=tail_compact)
+    return HitRecord(t=jnp.where(resolved, hit.t, FLT_MAX),
+                     tri=jnp.where(resolved, hit.tri, -1),
+                     u=hit.u, v=hit.v)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tail", "kernel", "tail_prefix",
-                                    "unroll", "tail_compact", "groups"))
+                                    "unroll", "tail_compact", "groups",
+                                    "cascade", "cascade_frac"))
 def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
                       d: Vec3, t_max: jnp.ndarray, s_o, s_t, thr,
                       tail: bool = True, kernel: str = "sublane",
                       tail_prefix: int = 0, unroll: int = 4,
                       tail_compact: str = "scatter",
-                      groups: bool = False) -> HitRecord:
+                      groups: bool = False, cascade: bool = False,
+                      cascade_frac: float = 0.5) -> HitRecord:
     """Demand sweep + resolution + compacted tail over a pool that is
     ALREADY sorted by bin_key (same-ordinal lanes adjacent — required
     for performance, not correctness). s_o/s_t are tuples of candidate
     slot planes, thr the scan's uncaptured-candidate bound (all in the
     pool's lane order, e.g. carried through the pool sort as operands).
     Returns hits in the given lane order; dead lanes (t_max <= 0)
-    return tri = -1."""
+    return tri = -1. cascade=True runs the two-phase cascade (see
+    cascade_phase1) fused in one program — fine on CPU and for tests;
+    TPU callers must dispatch the phases separately (wavefront.py)."""
+    if cascade and len(s_o) > 2 and kernel == "sublane":
+        P = _cascade_prefix(ori.x.shape[0], cascade_frac)
+        hit1, resolved1, bundle, n_unres = cascade_phase1(
+            sweep, ori, d, t_max, s_o, s_t, thr, P, unroll=unroll,
+            groups=groups)
+        return cascade_phase2(pack, sweep, ori, d, t_max, thr, hit1,
+                              resolved1, cascade_sort(bundle), n_unres,
+                              len(s_o), tail=tail, tail_prefix=tail_prefix,
+                              unroll=unroll, tail_compact=tail_compact,
+                              groups=groups)
     if kernel == "sublane":
         # unroll must divide the table's chunk_align (asserted inside);
         # unroll >= max_chunks takes the kernel's static one-trip path
@@ -393,13 +528,15 @@ def sweep_any_hit(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
 @functools.partial(jax.jit,
                    static_argnames=("slots", "tail", "kernel", "tail_prefix",
                                     "unroll", "tail_compact", "key_slots",
-                                    "groups"))
+                                    "groups", "cascade", "cascade_frac"))
 def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                t_max: jnp.ndarray, slots: int = 4,
                tail: bool = True, kernel: str = "sublane",
                tail_prefix: int = 0, unroll: int = 4,
                tail_compact: str = "scatter",
-               key_slots: int = 2, groups: bool = False) -> HitRecord:
+               key_slots: int = 2, groups: bool = False,
+               cascade: bool = False,
+               cascade_frac: float = 0.5) -> HitRecord:
     """Exact closest hit (bit-matches brute force up to equal-t ties) for
     an unsorted ray population; dead lanes (t_max <= 0) return tri=-1.
     kernel: "sublane" (sweep8: 128-ray blocks, 8 tris/VPU-op) or "lane"
@@ -431,7 +568,8 @@ def sweep_cast(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
     hit = sweep_cast_sorted(pack, sweep, ori_s, d_s, tm, so, st, thr_s,
                             tail=tail, kernel=kernel,
                             tail_prefix=tail_prefix, unroll=unroll,
-                            tail_compact=tail_compact, groups=groups)
+                            tail_compact=tail_compact, groups=groups,
+                            cascade=cascade, cascade_frac=cascade_frac)
 
     # --- unsort ---------------------------------------------------------
     _, t, tri, u, v = jax.lax.sort(

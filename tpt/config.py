@@ -185,6 +185,19 @@ class RenderConfig:
     #   "wide" — all 9 slot planes ride the sort (31 operands; CPU/tests
     #     only — never finishes the TPU compile at benchmark scale).
     sweep_seed_mode: str = "packed"
+    # two-phase cascade sweep (sweepcast.cascade_phase1/2): phase 1
+    # sweeps only the key-coherent slots 0-1, the unresolved minority is
+    # compacted + re-sorted by (slot3, slot2, octant) in its OWN
+    # dispatch, and phase 2 sweeps the rest slots block-coherently —
+    # the union-width attack on the 14-19-treelet block unions the
+    # one-shot demand sweep pays (BENCHMARKS §4d). Results identical
+    # (tests); split-dispatch mode only (the fused shape would hit the
+    # sort-fusion compile cliff).
+    sweep_cascade: bool = False
+    # phase-2 prefix as a fraction of the pool (static shape; overflow
+    # lanes fall to the wide tail's full-pool fallback — keep comfortably
+    # above the measured phase-1 unresolved fraction)
+    sweep_cascade_frac: float = 0.5
     # route shadow (any-hit) rays through the sweep pipeline too
     # (sweepcast.sweep_any_hit: scan + demand sweep in pool order + wide
     # any-hit tail) instead of the wide packet any-hit kernel. Default

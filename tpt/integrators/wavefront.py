@@ -256,7 +256,8 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                  cfg: RenderConfig, view_proj, prev_view_proj, depth, carry,
                  first_static: Optional[bool] = None,
                  sort_this: Optional[bool] = None,
-                 sweep_slots: Optional[tuple] = None):
+                 sweep_slots: Optional[tuple] = None,
+                 ext_hit: Optional[HitRecord] = None):
     """One wavefront bounce over the full path pool (shared by the fused
     fori_loop frame, the split per-dispatch execution, and the shard_map
     multi-chip step — lane count comes from the carry, so a per-device
@@ -284,6 +285,10 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
         seed = None
         sweep_slots_data = None
+        if ext_hit is not None:
+            # cascade split mode: the caller's cast dispatches already
+            # seeded AND sorted this pool — no in-body sort or seeding
+            do_sort = False
         treelet_seeding = (cfg.backend == RayCastBackend.BVH_TREELET
                            and do_sort and first_static is False)
         sweep_seeding = (cfg.backend == RayCastBackend.BVH_SWEEP
@@ -361,7 +366,12 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
         # dead lanes get t_max=-1 so their packets fail even root boxes
         # that contain the stale origin (a 0 limit still passes the slab
         # test with tn=tf=0); post-sort they are dense at the pool tail
-        if (cfg.nearfield_frac > 0.0
+        if ext_hit is not None:
+            # cascade split mode: the extension cast already ran as its
+            # own dispatch chain (sweepcast.cascade_phase1/2) over this
+            # (sorted) pool order — _make_bounce_fn bounce_rest_cascade
+            hit = ext_hit
+        elif (cfg.nearfield_frac > 0.0
                 and cfg.backend == RayCastBackend.BVH_PALLAS):
             # two-pass: bounded near-field cast, then unbounded recast of
             # the misses (a hit at exactly t == r1 falls through to pass 2
@@ -915,6 +925,52 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                                first_static=False, sweep_slots=slots)
             return out, jnp.sum(out[5].astype(jnp.int32))
 
+    # cascade split mode (cfg.sweep_cascade): the extension cast leaves
+    # the bounce program entirely — phase-1 sweep + compaction, the
+    # phase-2 bin sort (its OWN dispatch, per the sort-fusion compile
+    # cliff), then phase-2 sweep + tail fused with logic/shade/shadow.
+    # Five dispatches per rest bounce; packed seed mode only.
+    cascade_on = (sweep_split and cfg.sweep_cascade and cfg.sweep_slots > 2
+                  and cfg.sweep_seed_mode == "packed"
+                  and cfg.sweep_kernel == "sublane")
+    if cascade_on:
+        from ..bvh.sweepcast import (_cascade_prefix, cascade_phase1,
+                                     cascade_phase2, cascade_sort,
+                                     unpack_seed)
+
+        @jit_d(1, 2)
+        def cascade_pre(carry, keys, packed):
+            ori, direction, alive = carry[0], carry[1], carry[5]
+            s_o, s_t, thr = unpack_seed(keys, packed,
+                                        scene.sweep.num_treelets,
+                                        cfg.sweep_slots, cfg.sweep_key_slots)
+            ext_tmax = jnp.where(alive, 3.4e38, -1.0)
+            P = _cascade_prefix(ori.x.shape[0], cfg.sweep_cascade_frac)
+            hit1, resolved1, bundle, n_unres = cascade_phase1(
+                scene.sweep, ori, direction, ext_tmax, s_o, s_t, thr, P,
+                unroll=cfg.sweep_unroll, groups=cfg.sweep_groups)
+            return hit1, resolved1, thr, bundle, n_unres
+
+        @jit_d(0)
+        def cascade_sort_d(bundle):
+            return cascade_sort(bundle)
+
+        @jit_d(3, 4, 5, 6, 7)
+        def bounce_rest_cascade(depth, view_proj, prev_view_proj, carry,
+                                hit1, resolved1, thr, sbundle, n_unres):
+            ori, direction, alive = carry[0], carry[1], carry[5]
+            ext_tmax = jnp.where(alive, 3.4e38, -1.0)
+            ext = cascade_phase2(
+                scene.pack, scene.sweep, ori, direction, ext_tmax, thr,
+                hit1, resolved1, sbundle, n_unres, cfg.sweep_slots,
+                tail=True, unroll=cfg.sweep_unroll,
+                tail_compact=cfg.sweep_tail_compact,
+                groups=cfg.sweep_groups)
+            out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                               prev_view_proj, depth, carry,
+                               first_static=False, ext_hit=ext)
+            return out, jnp.sum(out[5].astype(jnp.int32))
+
     se = max(1, cfg.sort_every)
     cadence_on = se > 1 and cfg.backend == RayCastBackend.BVH_PALLAS
 
@@ -938,6 +994,13 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
         if sweep_split:
             if cfg.sweep_seed_mode == "packed":
                 carry, keys, packed = seed_rest(carry)
+                if cascade_on:
+                    hit1, res1, thr, bundle, n_unres = cascade_pre(
+                        carry, keys, packed)
+                    sbundle = cascade_sort_d(bundle)
+                    return bounce_rest_cascade(jnp.int32(depth), view_proj,
+                                               prev_view_proj, carry, hit1,
+                                               res1, thr, sbundle, n_unres)
                 return bounce_rest_sweep_packed(jnp.int32(depth), view_proj,
                                                 prev_view_proj, carry, keys,
                                                 packed)
@@ -956,6 +1019,9 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
         one_bounce._jit_fns += (scan_rest, sort_rest, sort_lean,
                                 sort_packed, bounce_rest_sweep,
                                 bounce_rest_sweep_packed)
+    if cascade_on:
+        one_bounce._jit_fns += (cascade_pre, cascade_sort_d,
+                                bounce_rest_cascade)
     return one_bounce
 
 
