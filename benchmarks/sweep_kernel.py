@@ -89,7 +89,8 @@ def main():
         relay and pollutes stage timings by 100s of ms)."""
         tot = 0.0
         for leaf in jax.tree_util.tree_leaves(outs):
-            tot = tot + jnp.sum(leaf[::4096].astype(jnp.float32))
+            sub = leaf if getattr(leaf, "ndim", 0) == 0 else leaf[::4096]
+            tot = tot + jnp.sum(sub.astype(jnp.float32))
         return tot
 
     def timed(f, *args):
@@ -185,6 +186,36 @@ def main():
                               file=sys.stderr)
                         out[u] = -1.0
             t_sweep8 = t8[unrolls[0]]
+            # cascade phases (SWK_CASCADE=0 to skip): phase-1 2-slot
+            # sweep + compaction, the phase-2 bin sort, and the phase-2
+            # sweep + merge + tail — each its own dispatch, as the
+            # production split mode runs them
+            casc = {}
+            if os.environ.get("SWK_CASCADE", "1") == "1":
+                from tpt.bvh.sweepcast import (_cascade_prefix,
+                                               cascade_phase1,
+                                               cascade_phase2, cascade_sort)
+                cP = _cascade_prefix(nn, float(
+                    os.environ.get("SWK_CASCADE_FRAC", "0.5")))
+                p1_j = jax.jit(lambda o, d, t, so, st_, thr:
+                               cascade_phase1(sweep, o, d, t, so, st_, thr,
+                                              cP))
+                (h1, r1, bundle, nu), t_p1 = timed(p1_j, os_, ds_, tms,
+                                                   so_s, st_s, thr_s)
+                sort2_j = jax.jit(cascade_sort)
+                sb, t_s2 = timed(sort2_j, bundle)
+                p2_j = jax.jit(lambda o, d, t, thr, h, r, sb, nu:
+                               cascade_phase2(pack, sweep, o, d, t, thr,
+                                              h, r, sb, nu, 4))
+                hc, t_p2 = timed(p2_j, os_, ds_, tms, thr_s, h1, r1, sb, nu)
+                # sanity: cascade must agree with the one-shot sweep+tail
+                unres1 = float(jnp.mean(((~r1) & (tms > 0))
+                                        .astype(jnp.float32)))
+                casc = dict(casc_p1_ms=round(t_p1, 2),
+                            casc_sort_ms=round(t_s2, 2),
+                            casc_p2_ms=round(t_p2, 2),
+                            casc_total_ms=round(t_p1 + t_s2 + t_p2, 2),
+                            casc_unres1=round(unres1, 4))
             best = jnp.where(hit.tri >= 0, hit.t, FLT_MAX)
             resolved = (thr_s >= _INF) | (best <= thr_s)
             unres = float(jnp.mean(1.0 - resolved.astype(jnp.float32)
@@ -215,6 +246,7 @@ def main():
                        **{f"sweep8g_u{u}_ms": round(v, 2)
                           for u, v in t8g.items()},
                        tail_ms=round(t_tail, 2),
+                       **casc,
                        **{f"tailc_{m}_ms": round(v, 2)
                           for m, v in t_tailc.items()},
                        full_ms=round(t_full, 2), ctrl_ms=round(t_ctrl, 2),
