@@ -40,4 +40,12 @@ run bench_cascade_spp4 7200 env BENCH_SWEEP_CASCADE=1 BENCH_SPP=4 \
 run bench_cascade_spp6 5400 env BENCH_SWEEP_CASCADE=1 BENCH_SPP=6 \
   BENCH_DONATE=1 python bench.py
 
+# 4. cold-compile row for BENCHMARKS §6b (VERDICT r3 item 5): the 608 s
+#    number predates the packed seed. A throwaway cache dir gives a true
+#    cold compile without nuking the production warm cache; the bench's
+#    own [bench] compile+warmup line is the measurement. spp4 packed.
+run bench_cold 7200 env TPT_CACHE_DIR=/tmp/q15_cold_cache BENCH_SPP=4 \
+  BENCH_FRAMES=1 python bench.py
+rm -rf /tmp/q15_cold_cache
+
 echo "QUEUE15 DONE $(date -u)" | tee -a /tmp/q15_status.log

@@ -44,6 +44,8 @@ def main():
     key_slots = int(os.environ.get("BENCH_SWEEP_KEY_SLOTS", "2"))
     seed_mode = os.environ.get("BENCH_SWEEP_SEED", "packed")
     sweep_shadow = os.environ.get("BENCH_SWEEP_SHADOW") == "1"
+    cascade = os.environ.get("BENCH_SWEEP_CASCADE") == "1"
+    cascade_frac = float(os.environ.get("BENCH_SWEEP_CASCADE_FRAC", "0.5"))
 
     t0 = time.time()
     host = procedural.fireplace_like(num_triangles=tris, resolution=res)
@@ -52,7 +54,9 @@ def main():
     cfg = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=depth,
                        spp_batch=spp, sweep_unroll=unroll,
                        sweep_groups=groups, sweep_key_slots=key_slots,
-                       sweep_seed_mode=seed_mode, sweep_shadow=sweep_shadow)
+                       sweep_seed_mode=seed_mode, sweep_shadow=sweep_shadow,
+                       sweep_cascade=cascade,
+                       sweep_cascade_frac=cascade_frac)
     raycaster = make_raycaster(scene, cfg)
     cam = host.camera
     vp = wavefront.camera_view_proj(cam)
@@ -63,7 +67,9 @@ def main():
     bounce = wavefront._make_bounce_fn(scene, raycaster, cam, cfg)
     assert seed_mode == "packed", "breakdown wired for the packed shape"
     (bounce_first, _, _, scan_rest, _, _, sort_packed, _,
-     bounce_packed) = bounce._jit_fns
+     bounce_packed) = bounce._jit_fns[:9]
+    if cascade:
+        casc_pre, casc_sort, bounce_casc = bounce._jit_fns[9:12]
 
     def force(x):
         # one jitted fn = one XLA program = atomic completion: fetching a
@@ -100,13 +106,29 @@ def main():
         (keys, slots_raw), t_scan = timed(scan_rest, carry)
         (carry_s, skeys, packed), t_sort = timed(
             sort_packed, carry, keys, slots_raw)
-        (out, _), t_bounce = timed(
-            bounce_packed, jnp.int32(d), vp, vp, carry_s, skeys, packed)
-        carry = out
         row = dict(depth=d, alive=round(alive, 3),
                    seed_scan_ms=round(t_scan, 1),
-                   seed_sort_ms=round(t_sort, 1),
-                   bounce_ms=round(t_bounce, 1))
+                   seed_sort_ms=round(t_sort, 1))
+        if cascade:
+            # five-dispatch shape: phase-1 sweep + compact, phase-2 bin
+            # sort, then phase-2 sweep + tail + logic/shade/shadow
+            (h1, r1, thr, bundle), t_p1 = timed(
+                casc_pre, carry_s, skeys, packed)
+            sb, t_s2 = timed(casc_sort, bundle)
+            (out, _), t_bounce = timed(
+                bounce_casc, jnp.int32(d), vp, vp, carry_s, h1, r1, thr,
+                sb)
+            row.update(casc_p1_ms=round(t_p1, 1),
+                       casc_sort_ms=round(t_s2, 1),
+                       casc_unres1=round(float(jnp.mean(
+                           (~r1).astype(jnp.float32))), 4),
+                       bounce_ms=round(t_bounce, 1))
+            total += t_p1 + t_s2
+        else:
+            (out, _), t_bounce = timed(
+                bounce_packed, jnp.int32(d), vp, vp, carry_s, skeys, packed)
+            row.update(bounce_ms=round(t_bounce, 1))
+        carry = out
         rows.append(row)
         total += t_scan + t_sort + t_bounce
         print(json.dumps(row))

@@ -204,10 +204,10 @@ def main():
                                                    so_s, st_s, thr_s)
                 sort2_j = jax.jit(cascade_sort)
                 sb, t_s2 = timed(sort2_j, bundle)
-                p2_j = jax.jit(lambda o, d, t, thr, h, r, sb, nu:
+                p2_j = jax.jit(lambda o, d, t, thr, h, r, sb:
                                cascade_phase2(pack, sweep, o, d, t, thr,
-                                              h, r, sb, nu, 4))
-                hc, t_p2 = timed(p2_j, os_, ds_, tms, thr_s, h1, r1, sb, nu)
+                                              h, r, sb, 4))
+                hc, t_p2 = timed(p2_j, os_, ds_, tms, thr_s, h1, r1, sb)
                 # sanity: cascade must agree with the one-shot sweep+tail
                 unres1 = float(jnp.mean(((~r1) & (tms > 0))
                                         .astype(jnp.float32)))

@@ -93,6 +93,27 @@ class TestSharding:
         sharded = np.asarray(jax.device_get(rgb.stacked()))
         np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=2e-7)
 
+    @pytest.mark.slow
+    def test_sweep_cascade_sharded_split_bitwise(self):
+        """Cascade sweep in sharded split mode (cfg.sweep_cascade): the
+        five-dispatch chain is shard-local phase-for-phase, so the
+        sharded render must match the single-chip cascade render to the
+        same 1-ulp class as test_sweep_sharded_split_bitwise."""
+        scene = procedural.cornell_box(resolution=(32, 32), spheres=True)
+        data = scene.build(with_bvh=True, treelet_max_tris=64)
+        cfg = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=2,
+                           sort_bounce_rays=True, adaptive_pool=False,
+                           sweep_cascade=True)
+        single = wavefront.render(data, scene.camera, cfg, iterations=1)
+        mesh = make_pixel_mesh(jax.devices()[:8])
+        step, init_state, vp = make_sharded_step(
+            data, scene.camera, cfg, mesh, with_svgf=False,
+            split_bounces=True)
+        acc_d, acc_i, svgf_state = init_state()
+        rgb, _ = step(jnp.uint32(1), vp, (acc_d, acc_i, svgf_state))
+        sharded = np.asarray(jax.device_get(rgb.stacked()))
+        np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=2e-7)
+
     def test_output_actually_sharded(self, cornell64):
         scene, data = cornell64
         mesh = make_pixel_mesh(jax.devices()[:8])

@@ -661,7 +661,7 @@ class TestSweepCascade:
             sweep, ori_s, d_s, tm_s, so_s, st_s, thr_s, prefix=128)
         assert int(n_unres) > 128, "test needs a real overflow"
         hit = cascade_phase2(pack, sweep, ori_s, d_s, tm_s, thr_s, hit1,
-                             res1, cascade_sort(bundle), n_unres, 4)
+                             res1, cascade_sort(bundle), 4)
         # unsort and compare with brute force
         _, t, tri, u, v = jax.lax.sort(
             (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1)

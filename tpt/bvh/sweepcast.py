@@ -339,8 +339,13 @@ def cascade_phase1(sweep: SweepTables, ori: Vec3, d: Vec3,
     # (unfilled alias-lane-0) slots are killed outright
     tm2 = jnp.where(live_slot, g(jnp.minimum(best1, t_max)), 0.0)
     d2 = Vec3(g(d.x), g(d.y), g(d.z))
-    key2 = bin_key(tuple(g(s_o[i]) for i in range(2, nslots)), d2,
-                   sweep.num_treelets, nslots - 2)
+    # unfilled slots (alias lane 0) sort to the END as dense dead blocks
+    # instead of diluting live blocks with their aliased key
+    key2 = jnp.where(
+        live_slot,
+        bin_key(tuple(g(s_o[i]) for i in range(2, nslots)), d2,
+                sweep.num_treelets, nslots - 2),
+        jnp.int32(1 << 30))
     bundle = (key2, g(ori.x), g(ori.y), g(ori.z), d2.x, d2.y, d2.z, tm2,
               *(g(s_o[i]) for i in range(2, nslots)),
               *(g(s_t[i]) for i in range(2, nslots)), ti)
@@ -355,14 +360,15 @@ def cascade_sort(bundle):
 
 def cascade_phase2(pack: PacketBVH, sweep: SweepTables, ori: Vec3, d: Vec3,
                    t_max: jnp.ndarray, thr, hit1: HitRecord, resolved1,
-                   sorted_bundle, n_unres, nslots: int,
+                   sorted_bundle, nslots: int,
                    tail: bool = True, tail_prefix: int = 0,
                    unroll: int = 4, tail_compact: str = "scatter",
                    groups: bool = False) -> HitRecord:
     """Phase 2: demand-sweep the re-binned rest slots over the compacted
     prefix, scatter winners back, resolve exactly, and finish with the
     compacted wide tail. ori/d/t_max/thr are the FULL pool planes (the
-    caller's lane order); returns hits in that order."""
+    caller's lane order); returns hits in that order. Slot liveness is
+    self-contained (tm2 > 0), so phase 1's n_unres is diagnostic only."""
     (_, ox, oy, oz, dx, dy, dz, tm2) = sorted_bundle[:8]
     rest = sorted_bundle[8:]
     n_rest = nslots - 2
@@ -420,11 +426,11 @@ def sweep_cast_sorted(pack: PacketBVH, sweep: SweepTables, ori: Vec3,
     TPU callers must dispatch the phases separately (wavefront.py)."""
     if cascade and len(s_o) > 2 and kernel == "sublane":
         P = _cascade_prefix(ori.x.shape[0], cascade_frac)
-        hit1, resolved1, bundle, n_unres = cascade_phase1(
+        hit1, resolved1, bundle, _ = cascade_phase1(
             sweep, ori, d, t_max, s_o, s_t, thr, P, unroll=unroll,
             groups=groups)
         return cascade_phase2(pack, sweep, ori, d, t_max, thr, hit1,
-                              resolved1, cascade_sort(bundle), n_unres,
+                              resolved1, cascade_sort(bundle),
                               len(s_o), tail=tail, tail_prefix=tail_prefix,
                               unroll=unroll, tail_compact=tail_compact,
                               groups=groups)

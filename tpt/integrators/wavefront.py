@@ -946,10 +946,10 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                                         cfg.sweep_slots, cfg.sweep_key_slots)
             ext_tmax = jnp.where(alive, 3.4e38, -1.0)
             P = _cascade_prefix(ori.x.shape[0], cfg.sweep_cascade_frac)
-            hit1, resolved1, bundle, n_unres = cascade_phase1(
+            hit1, resolved1, bundle, _ = cascade_phase1(
                 scene.sweep, ori, direction, ext_tmax, s_o, s_t, thr, P,
                 unroll=cfg.sweep_unroll, groups=cfg.sweep_groups)
-            return hit1, resolved1, thr, bundle, n_unres
+            return hit1, resolved1, thr, bundle
 
         @jit_d(0)
         def cascade_sort_d(bundle):
@@ -957,12 +957,12 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
 
         @jit_d(3, 4, 5, 6, 7)
         def bounce_rest_cascade(depth, view_proj, prev_view_proj, carry,
-                                hit1, resolved1, thr, sbundle, n_unres):
+                                hit1, resolved1, thr, sbundle):
             ori, direction, alive = carry[0], carry[1], carry[5]
             ext_tmax = jnp.where(alive, 3.4e38, -1.0)
             ext = cascade_phase2(
                 scene.pack, scene.sweep, ori, direction, ext_tmax, thr,
-                hit1, resolved1, sbundle, n_unres, cfg.sweep_slots,
+                hit1, resolved1, sbundle, cfg.sweep_slots,
                 tail=True, unroll=cfg.sweep_unroll,
                 tail_compact=cfg.sweep_tail_compact,
                 groups=cfg.sweep_groups)
@@ -995,12 +995,12 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
             if cfg.sweep_seed_mode == "packed":
                 carry, keys, packed = seed_rest(carry)
                 if cascade_on:
-                    hit1, res1, thr, bundle, n_unres = cascade_pre(
+                    hit1, res1, thr, bundle = cascade_pre(
                         carry, keys, packed)
                     sbundle = cascade_sort_d(bundle)
                     return bounce_rest_cascade(jnp.int32(depth), view_proj,
                                                prev_view_proj, carry, hit1,
-                                               res1, thr, sbundle, n_unres)
+                                               res1, thr, sbundle)
                 return bounce_rest_sweep_packed(jnp.int32(depth), view_proj,
                                                 prev_view_proj, carry, keys,
                                                 packed)

@@ -237,12 +237,86 @@ def make_sharded_step(scene: SceneData, cam: Camera, cfg: RenderConfig,
                     out_specs=(_cspec, P()), check_vma=False)(
                         prev_vp, carry, keys, packed)
 
+        # cascade sweep in sharded split mode: every phase is shard-local
+        # (the compaction, the phase-2 bin sort, and the scatter-back all
+        # permute lanes WITHIN a shard), so the single-chip five-dispatch
+        # shape maps 1:1 — same dispatch boundaries, no collectives
+        # beyond the alive-count psum.
+        cascade_on = (sweep_seeded and cfg.sweep_cascade
+                      and cfg.sweep_slots > 2
+                      and cfg.sweep_kernel == "sublane")
+        if cascade_on:
+            from ..bvh.sweepcast import (_cascade_prefix, cascade_phase1,
+                                         cascade_phase2, cascade_sort)
+
+            @jax.jit
+            def casc_pre_sh(carry, keys, packed):
+                def local(carry, keys, packed):
+                    ori, direction, alive = carry[0], carry[1], carry[5]
+                    s_o, s_t, thr = unpack_seed(keys, packed, _T,
+                                                cfg.sweep_slots,
+                                                cfg.sweep_key_slots)
+                    ext_tmax = jnp.where(alive, 3.4e38, -1.0)
+                    Pn = _cascade_prefix(ori.x.shape[0],
+                                         cfg.sweep_cascade_frac)
+                    hit1, res1, bundle, _ = cascade_phase1(
+                        scene_repl.sweep, ori, direction, ext_tmax,
+                        s_o, s_t, thr, Pn, unroll=cfg.sweep_unroll,
+                        groups=cfg.sweep_groups)
+                    return hit1, res1, thr, bundle
+
+                return jax.shard_map(
+                    local, mesh=mesh, in_specs=(_cspec, P(axis), P(axis)),
+                    out_specs=P(axis), check_vma=False)(carry, keys, packed)
+
+            @jax.jit
+            def casc_sort_sh(bundle):
+                return jax.shard_map(
+                    cascade_sort, mesh=mesh, in_specs=P(axis),
+                    out_specs=P(axis), check_vma=False)(bundle)
+
+            def one_bounce_casc(depth_static, prev_vp, carry, hit1, res1,
+                                thr, sbundle):
+                def local(prev_vp, carry, hit1, res1, thr, sbundle):
+                    ori, direction, alive = carry[0], carry[1], carry[5]
+                    ext_tmax = jnp.where(alive, 3.4e38, -1.0)
+                    ext = cascade_phase2(
+                        scene_repl.pack, scene_repl.sweep, ori, direction,
+                        ext_tmax, thr, hit1, res1, sbundle,
+                        cfg.sweep_slots, tail=True,
+                        unroll=cfg.sweep_unroll,
+                        tail_compact=cfg.sweep_tail_compact,
+                        groups=cfg.sweep_groups)
+                    out = wavefront._bounce_body(
+                        scene_repl, raycaster, cam, cfg, vp, prev_vp,
+                        jnp.int32(depth_static), carry,
+                        first_static=False, ext_hit=ext)
+                    alive_n = jax.lax.psum(
+                        jnp.sum(out[5].astype(jnp.int32)), axis)
+                    return out, alive_n
+
+                return jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), _cspec, P(axis), P(axis), P(axis),
+                              P(axis)),
+                    out_specs=(_cspec, P()), check_vma=False)(
+                        prev_vp, carry, hit1, res1, thr, sbundle)
+
         bounce_jits = {}
 
         def bounce_at(depth, prev_vp, carry):
             if sweep_seeded and depth > 0:
                 keys, slots_raw = seed_scan(carry)
                 carry, keys, packed = seed_sort(carry, keys, slots_raw)
+                if cascade_on:
+                    hit1, res1, thr, bundle = casc_pre_sh(carry, keys,
+                                                          packed)
+                    sbundle = casc_sort_sh(bundle)
+                    if ("casc", depth) not in bounce_jits:
+                        bounce_jits[("casc", depth)] = jax.jit(
+                            partial(one_bounce_casc, depth))
+                    return bounce_jits[("casc", depth)](
+                        prev_vp, carry, hit1, res1, thr, sbundle)
                 if depth not in bounce_jits:
                     bounce_jits[depth] = jax.jit(
                         partial(one_bounce_seeded, depth))
