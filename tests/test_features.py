@@ -71,7 +71,9 @@ class TestEnvNEE:
         scene.env_map = env
         data = scene.build()
 
-        cfg_b = CFG.with_(trace_depth=3)
+        # env_nee defaults True since the round-4 unification — the
+        # BSDF-only baseline must opt out explicitly
+        cfg_b = CFG.with_(trace_depth=3, env_nee=False)
         cfg_n = CFG.with_(trace_depth=3, env_nee=True)
         imgs_b = [megakernel.render(data, scene.camera, cfg_b, iterations=1,
                                     start_iter=s) for s in (1, 50)]

@@ -122,8 +122,11 @@ class TestEnvironmentRadiometry:
         s = floor_scene()
         s.env_map = build_envmap(np.full((16, 32, 3), c, np.float32))
         data = s.build()
+        # env NEE off: the per-path-exactness argument above holds only
+        # for pure BSDF sampling (NEE+MIS is exact in expectation, not
+        # per path) — env_nee defaults True since the round-4 unification
         cfg = RenderConfig(backend=RayCastBackend.BRUTE_FORCE,
-                           trace_depth=2, jitter=False)
+                           trace_depth=2, jitter=False, env_nee=False)
         img = wavefront.render(data, s.camera, cfg, iterations=2)
         np.testing.assert_allclose(img, c, rtol=2e-5)
 
