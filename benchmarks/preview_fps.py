@@ -18,7 +18,9 @@ Env: PF_RES (1920x1080), PF_TRIS (143000), PF_DEPTH (3 — the viewer's
 navigation depth), PF_SCALES ("4 6 8"), PF_FRAMES (20), PF_ENGINE
 ("wave" | "mega" — engine for the PREVIEW renderer; mega runs the whole
 preview frame as one fused dispatch, the queue-10 finding that the
-preview floor is dispatch count, BENCHMARKS §7b).
+preview floor is dispatch count, BENCHMARKS §7b), PF_PIPELINE=1
+(Renderer.pipeline on the preview engine — frame N dispatches while
+N-1 displays, the viewers' default latency hider; metric gains "pip").
 """
 
 import json
@@ -60,12 +62,14 @@ def main():
 
     engine = os.environ.get("PF_ENGINE", "wave")
     pmode = RenderMode.MEGAKERNEL if engine == "mega" else None
+    pipeline = os.environ.get("PF_PIPELINE") == "1"
 
     cfg = RenderConfig(backend=backend, trace_depth=depth)
     full = Renderer(scene, host.camera, cfg)
 
     for scale in scales:
         prev = make_preview_renderer(full, scale=scale, mode=pmode)
+        prev.pipeline = pipeline
         yaw, pitch = yaw_pitch_from_view(
             np.asarray(host.camera.view, np.float64))
 
@@ -95,7 +99,8 @@ def main():
         pw, ph = prev.cam.resolution
         print(json.dumps({
             "metric": (f"preview_nav_frame s{scale} {pw}x{ph} d{depth}"
-                       + (f" {engine}" if engine != "wave" else "")),
+                       + (f" {engine}" if engine != "wave" else "")
+                       + (" pip" if pipeline else "")),
             "value": round(ms, 1), "unit": "ms",
             "fps": round(1e3 / ms, 1),
         }))

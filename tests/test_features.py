@@ -139,6 +139,64 @@ class TestHeatmapAndCheckpoint:
         np.testing.assert_allclose(img_resumed, img_cont, atol=1e-6)
 
 
+class TestFramePipelining:
+    """Renderer.pipeline: frame() dispatches frame N, returns N-1 — the
+    viewers' nav-preview latency hider. Images must be bit-identical to
+    the unpipelined sequence, just shifted by one call."""
+
+    def _renderers(self, cornell, mode):
+        from tpt.engine import Renderer
+
+        scene, data = cornell
+        cfg = RenderConfig(mode=mode, backend=RayCastBackend.BRUTE_FORCE,
+                           trace_depth=2)
+        ref = Renderer(data, scene.camera, cfg)
+        pip = Renderer(data, scene.camera, cfg)
+        pip.pipeline = True
+        return ref, pip
+
+    @pytest.mark.parametrize("mode", [RenderMode.MEGAKERNEL,
+                                      RenderMode.WAVEFRONT])
+    def test_shifted_bit_identical(self, cornell, mode):
+        ref, pip = self._renderers(cornell, mode)
+        refs = [ref.frame() for _ in range(3)]
+        # pipelined call 1 returns its own frame (nothing pending yet);
+        # calls 2..4 return frames 1..3
+        got = [pip.frame() for _ in range(4)]
+        np.testing.assert_array_equal(got[0], refs[0])
+        for k in range(3):
+            np.testing.assert_array_equal(got[k + 1], refs[k])
+
+    def test_reset_drops_pending(self, cornell):
+        ref, pip = self._renderers(cornell, RenderMode.MEGAKERNEL)
+        pip.frame()
+        pip.frame()          # leaves frame 2 pending
+        pip.reset()
+        first = pip.frame()  # must be frame 1 again, not stale frame 2
+        np.testing.assert_array_equal(first, ref.frame())
+
+    def test_pending_survives_camera_move(self, cornell):
+        """The nav hot path: move_camera() every frame (same resolution).
+        The in-flight frame must survive the move — call k+1 returns the
+        pre-move frame (1-frame latency), and the post-move sequence
+        matches an unpipelined renderer doing the same move."""
+        ref, pip = self._renderers(cornell, RenderMode.MEGAKERNEL)
+        moved = ref.cam.moved(position=(0.05, 0.0, 0.0))
+
+        r1 = ref.frame()
+        ref.move_camera(moved)
+        r1_moved = ref.frame()
+
+        p_first = pip.frame()            # frame 1, pre-move view
+        pip.frame()                      # leaves frame 2 (pre-move) pending
+        pip.move_camera(moved)
+        after_move = pip.frame()         # returns PRE-move frame 2
+        post = pip.frame()               # returns post-move frame 1
+        np.testing.assert_array_equal(p_first, r1)
+        assert not np.array_equal(after_move, r1)   # it is frame 2, not 1
+        np.testing.assert_array_equal(post, r1_moved)
+
+
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-v"]))

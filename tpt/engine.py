@@ -50,6 +50,11 @@ class Renderer:
         self.gui = GuiData(denoiser_on=cfg.denoiser_on, display_mode=cfg.display)
         w, h = cam.resolution
         self._shape = (h, w)
+        # opt-in frame pipelining (viewers enable it on the nav preview):
+        # frame() dispatches frame N but returns frame N-1, so the device
+        # renders while the host displays — hides one relay round-trip per
+        # frame at the cost of one frame of display latency
+        self.pipeline = False
         self.reset()
 
         self._camv = camera_arrays(cam)
@@ -74,6 +79,9 @@ class Renderer:
         self.acc_indirect = Vec3.zeros((n,))
         self.acc_mega = Vec3.zeros((n,))
         self.svgf_state = SVGFState.zeros(h, w)
+        # a pending pipelined frame predates the reset (and possibly the
+        # resolution) — drop it
+        self._pending = None
 
     def move_camera(self, cam: Camera):
         """Re-target the camera: a ZERO-RECOMPILE state update when the
@@ -100,7 +108,13 @@ class Renderer:
         if not same_res:
             w, h = cam.resolution
             self._shape = (h, w)
+        # a pipelined in-flight frame survives same-res camera moves (the
+        # nav hot path retargets EVERY frame — dropping it there would
+        # disable pipelining exactly where it matters); displaying one
+        # pre-move frame is the pipeline's normal 1-frame latency
+        pending = self._pending if same_res else None
         self.reset()
+        self._pending = pending
 
     # -- svgf glue -------------------------------------------------------------
     def _svgf_impl(self, st: SVGFState, out):
@@ -131,8 +145,7 @@ class Renderer:
         if self.cfg.mode == RenderMode.MEGAKERNEL:
             self.acc_mega = self._mega_step(it, self.acc_mega,
                                             camv=self._camv)
-            img = (self.acc_mega * (1.0 / self.iteration)).stacked()
-            img = jax.device_get(img).reshape(h, w, 3)
+            img_dev = (self.acc_mega * (1.0 / self.iteration)).stacked()
             rays = self.cam.num_pixels * self.cfg.trace_depth
         else:
             if self.gui.denoiser_on:
@@ -143,17 +156,27 @@ class Renderer:
                 it, self._prev_vp, self.acc_direct, self.acc_indirect,
                 camv=self._camv)
             self._prev_vp = self._vp
-            rays = int(out.rays_traced)
+            rays = out.rays_traced  # device scalar; fetched with the image
 
             if self.gui.denoiser_on:
                 rgb, self.svgf_state = self._svgf_fn(self.svgf_state, out)
-                img = jax.device_get(rgb.stacked())
+                img_dev = rgb.stacked()
             else:
-                img = self._display(out)
+                img_dev = self._display_device(out)
+
+        if self.pipeline and img_dev is not None:
+            # swap: return the previous dispatch's frame; this one stays
+            # in flight on the device until the next call fetches it
+            prev = self._pending
+            self._pending = (img_dev, rays, (h, w))
+            if prev is not None:
+                img_dev, rays, (h, w) = prev
+        img = (img_dev if isinstance(img_dev, np.ndarray)
+               else jax.device_get(img_dev))
 
         dt = time.perf_counter() - t0
         self.gui.frame_ms = dt * 1000.0
-        self.gui.mrays_per_sec = rays / dt / 1e6
+        self.gui.mrays_per_sec = int(rays) / dt / 1e6
         self.gui.traced_depth = self.cfg.trace_depth
         return np.asarray(img).reshape(h, w, 3)
 
@@ -206,8 +229,11 @@ class Renderer:
         self.acc_mega = restore("acc_mega", self.acc_mega)
         self.svgf_state = restore("svgf", self.svgf_state)
 
-    def _display(self, out) -> np.ndarray:
-        """Display-channel selection (pathtrace_wavefront.cu:82-109)."""
+    def _display_device(self, out):
+        """Display-channel selection (pathtrace_wavefront.cu:82-109).
+        Returns the selected channel as a DEVICE array (frame() fetches —
+        possibly one frame later, when pipelining); the BVH heatmap debug
+        view is host-computed and comes back as numpy."""
         h, w = self._shape
         mode = self.gui.display_mode
         if mode == DisplayMode.BVH_HEATMAP:
@@ -226,4 +252,4 @@ class Renderer:
         else:
             acc = (self.acc_direct + self.acc_indirect) * (1.0 / self.iteration)
             img = acc.stacked()
-        return jax.device_get(img).reshape(h, w, 3)
+        return img

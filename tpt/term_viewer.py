@@ -171,6 +171,8 @@ def run_term_viewer(renderer: Renderer, max_frames: int = 0,
                                      mode=RenderMode.MEGAKERNEL,
                                      nav_depth=2)
                if preview_scale > 1 else None)
+    if preview is not None:
+        preview.pipeline = True  # overlap device render with host display
     rig = CameraRig(renderer, preview)
     reader = _KeyReader()
     frame_count = 0

@@ -174,6 +174,11 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
                                      mode=RenderMode.MEGAKERNEL,
                                      nav_depth=2)
                if preview_scale > 1 else None)
+    if preview is not None:
+        # pipelined nav frames: the device renders frame N while the host
+        # displays N-1 — hides the relay round-trip that sets the preview
+        # FPS floor, at one frame of display latency
+        preview.pipeline = True
     rig = CameraRig(renderer, preview)
     move_camera = rig.move
     look_camera = rig.look
