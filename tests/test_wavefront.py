@@ -102,6 +102,24 @@ class TestRaySorting:
         np.testing.assert_allclose(img_sorted, img_plain,
                                    rtol=1e-6, atol=2e-7)
 
+    def test_shade_hit_row_matches_five_gather_path(self):
+        """The de-normalized [T, 40] hit row (mesh.shade_hit — one gather)
+        must render bit-identically to the 5-gather packed-row path it
+        replaces: the per-column math and conversions are the same ops on
+        the same values, in the same program shape."""
+        import dataclasses
+
+        scene = procedural.cornell_box(resolution=(32, 32), spheres=True)
+        data = scene.build(with_bvh=True)
+        assert data.mesh.shade_hit is not None
+        stripped = dataclasses.replace(
+            data, mesh=dataclasses.replace(data.mesh, shade_hit=None))
+        cfg = RenderConfig(backend=RayCastBackend.BVH_XLA, trace_depth=3)
+        img_one = wavefront.render(data, scene.camera, cfg, iterations=2)
+        img_five = wavefront.render(stripped, scene.camera, cfg,
+                                    iterations=2)
+        np.testing.assert_array_equal(img_one, img_five)
+
     def test_nearfield_two_pass_matches_one_pass(self):
         """nearfield_frac splits the extension cast into a bounded pass +
         an unbounded recast of the misses; the composite must find the

@@ -261,27 +261,47 @@ def fetch_hit_surface(scene, tri, bu, bv, wo: Vec3):
 
     mesh = scene.mesh
     tric = jnp.maximum(tri, 0)
-    trow = jnp.take(mesh.shade_tri, tric, axis=0, mode="clip")
     as_int = lambda c: jax.lax.bitcast_convert_type(c, jnp.int32)
-    i0 = as_int(trow[:, 0])
-    i1 = as_int(trow[:, 1])
-    i2 = as_int(trow[:, 2])
-    mat_id = as_int(trow[:, 3])
-    ng_raw = Vec3(trow[:, 4], trow[:, 5], trow[:, 6])
+    w = 1.0 - bu - bv
+    if mesh.shade_hit is not None:
+        # the de-normalized [T, 40] hit row (mesh.finalize_mesh): ONE
+        # row-gather replaces tri row + 3 vertex rows + material row.
+        # Same per-column math/conversions as the 5-gather path below —
+        # results are bit-identical (tests/test_wavefront.py pins it)
+        row = jnp.take(mesh.shade_hit, tric, axis=0, mode="clip")
+        mat_id = as_int(row[:, 0])
+        ng_raw = Vec3(row[:, 1], row[:, 2], row[:, 3])
+        lerp = lambda c: (row[:, 4 + c] * w + row[:, 12 + c] * bu
+                          + row[:, 20 + c] * bv)
+        mats = MaterialLanes(
+            basecolor=Vec3(row[:, 28], row[:, 29], row[:, 30]),
+            metallic=row[:, 31], roughness=row[:, 32],
+            emittance=row[:, 33], ior=row[:, 34],
+            mtype=row[:, 35].astype(jnp.int32),
+            tex_diffuse=row[:, 36].astype(jnp.int32),
+            tex_metallic_roughness=row[:, 37].astype(jnp.int32),
+            tex_normal=row[:, 38].astype(jnp.int32),
+        )
+    else:
+        trow = jnp.take(mesh.shade_tri, tric, axis=0, mode="clip")
+        i0 = as_int(trow[:, 0])
+        i1 = as_int(trow[:, 1])
+        i2 = as_int(trow[:, 2])
+        mat_id = as_int(trow[:, 3])
+        ng_raw = Vec3(trow[:, 4], trow[:, 5], trow[:, 6])
+
+        r0 = jnp.take(mesh.shade_vtx, i0, axis=0, mode="clip")
+        r1 = jnp.take(mesh.shade_vtx, i1, axis=0, mode="clip")
+        r2 = jnp.take(mesh.shade_vtx, i2, axis=0, mode="clip")
+        lerp = lambda c: r0[:, c] * w + r1[:, c] * bu + r2[:, c] * bv
+        mats = gather_materials(scene.materials, mat_id)
+
     flip = ng_raw.dot(wo) < 0.0
     ng = vwhere(flip, -1.0 * ng_raw, ng_raw)
-
-    r0 = jnp.take(mesh.shade_vtx, i0, axis=0, mode="clip")
-    r1 = jnp.take(mesh.shade_vtx, i1, axis=0, mode="clip")
-    r2 = jnp.take(mesh.shade_vtx, i2, axis=0, mode="clip")
-    w = 1.0 - bu - bv
-    lerp = lambda c: r0[:, c] * w + r1[:, c] * bu + r2[:, c] * bv
     n_shading = Vec3(lerp(0), lerp(1), lerp(2)).normalize()
     tang = Vec3(lerp(3), lerp(4), lerp(5))
     uu = lerp(6)
     vv = lerp(7)
-
-    mats = gather_materials(scene.materials, mat_id)
 
     # normal mapping (TBN as get_surface_properties)
     if scene.materials.any_tex_normal:

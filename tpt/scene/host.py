@@ -132,7 +132,7 @@ class HostScene:
             lpacked[:, 12:15] = le
             lights = dataclasses.replace(lights,
                                          packed=jnp.asarray(lpacked))
-        mesh = finalize_mesh(self.mesh)
+        mesh = finalize_mesh(self.mesh, mat_packed=mat_packed)
         atlas = self.atlas.build()
         env = self.env_map if self.env_map is not None else EnvMap.disabled()
         bvh = None

@@ -143,8 +143,18 @@ def merge_meshes(meshes: List[HostMesh]) -> HostMesh:
     return out
 
 
-def finalize_mesh(m: HostMesh) -> MeshData:
-    """Upload a HostMesh to the device MeshData pytree."""
+def finalize_mesh(m: HostMesh, mat_packed: np.ndarray = None) -> MeshData:
+    """Upload a HostMesh to the device MeshData pytree.
+
+    With `mat_packed` (the scene's [M, 16] material rows, host.py) also
+    builds `shade_hit`: the fully DE-NORMALIZED per-triangle hit row —
+    geometric normal + all three vertices' shading attributes + the
+    triangle's material fields in ONE [T, 40] row, so the per-bounce
+    shade fetch is a single row-gather instead of five (tri row + 3
+    vertex rows + material row). A 2M-lane gather costs ~30 ms on v5e
+    regardless of row width — the gather COUNT is the cost — so
+    duplicating vertex/material data per triangle (~23 MB at 143k tris)
+    buys ~4 gathers per bounce (integrators/common.py:fetch_hit_surface)."""
     geo_n = compute_geometric_normals(m.positions, m.indices)
 
     # packed shading rows (structs.MeshData docstring): int32 indices ride
@@ -161,7 +171,26 @@ def finalize_mesh(m: HostMesh) -> MeshData:
     shade_vtx[:, 6] = m.uvs[:, 0]
     shade_vtx[:, 7] = m.uvs[:, 1]
 
+    shade_hit = None
+    if mat_packed is not None:
+        # [T, 40]: 0 matid (int32 bitcast) | 1:4 geom normal | 4:12,
+        # 12:20, 20:28 per-vertex attrs (shade_vtx row layout) | 28:39
+        # material fields 0:11 of mat_packed (same float encodings as
+        # MaterialTable.packed, so the shader's conversions bit-match
+        # gather_materials) | 39 pad
+        shade_hit = np.zeros((t, 40), np.float32)
+        shade_hit[:, 0] = m.material_ids.astype(np.int32).view(np.float32)
+        shade_hit[:, 1:4] = geo_n
+        if t:
+            shade_hit[:, 4:12] = shade_vtx[m.indices[:, 0]]
+            shade_hit[:, 12:20] = shade_vtx[m.indices[:, 1]]
+            shade_hit[:, 20:28] = shade_vtx[m.indices[:, 2]]
+            mid = np.clip(m.material_ids, 0, mat_packed.shape[0] - 1)
+            shade_hit[:, 28:39] = mat_packed[mid, 0:11]
+        shade_hit = jnp.asarray(shade_hit)
+
     return MeshData(
+        shade_hit=shade_hit,
         positions=Vec3.from_stacked(jnp.asarray(m.positions)),
         normals=Vec3.from_stacked(jnp.asarray(m.normals)),
         tangents=Vec3.from_stacked(jnp.asarray(m.tangents)),

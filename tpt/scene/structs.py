@@ -51,6 +51,11 @@ class MeshData:
     shade_tri: jnp.ndarray = None  # [T, 8] f32: i0,i1,i2,matid (int32
     #                                bit-cast), geom normal xyz, pad
     shade_vtx: jnp.ndarray = None  # [V, 8] f32: normal xyz, tangent xyz, u, v
+    # fully de-normalized hit row (mesh.finalize_mesh docstring): matid +
+    # geom normal + all 3 vertices' attrs + material fields in ONE row —
+    # the per-bounce shade fetch is a single gather (built when the scene
+    # passes mat_packed; None in mesh-only test fixtures)
+    shade_hit: jnp.ndarray = None  # [T, 40] f32
 
     @property
     def num_triangles(self) -> int:
