@@ -10,6 +10,9 @@ seed scan (_sweep_scan_keys), packed 24-operand pool sort
 Env: BD_TRIS (143000), BD_RES (1920x1080), BD_DEPTH (8), BD_SPP (4),
 BD_REPS (2 timing reps per dispatch, first rep discarded as warmup),
 plus bench.py's BENCH_SWEEP_* knobs for the config under test.
+BD_NO_SHADOW=1 drops the NEE shadow any-hit from the bounce program
+(cfg.debug_no_shadow — timing diagnostic: the delta vs the default run
+is the shadow cast's share of the fused dispatch).
 """
 
 import json
@@ -55,6 +58,7 @@ def main():
                        spp_batch=spp, sweep_unroll=unroll,
                        sweep_groups=groups, sweep_key_slots=key_slots,
                        sweep_seed_mode=seed_mode, sweep_shadow=sweep_shadow,
+                       debug_no_shadow=os.environ.get("BD_NO_SHADOW") == "1",
                        sweep_cascade=cascade,
                        sweep_cascade_frac=cascade_frac)
     raycaster = make_raycaster(scene, cfg)

@@ -203,6 +203,12 @@ class RenderConfig:
     # any-hit tail) instead of the wide packet any-hit kernel. Default
     # off until the TPU A/B lands (shadow casts are ~15% of frame casts)
     sweep_shadow: bool = False
+    # TIMING DIAGNOSTIC ONLY: skip the NEE shadow any-hit dispatch (treat
+    # every light sample as visible). Biases the direct channel bright —
+    # never a production mode; exists so sweep_breakdown can isolate the
+    # shadow cast's share of the fused bounce program (RNG consumption is
+    # unchanged, so paths/extension casts stay identical)
+    debug_no_shadow: bool = False
     # two-pass extension cast: first cast with t_max = frac * world
     # diagonal (a bounded per-lane limit collapses the packet's node-visit
     # union — far subtrees fail the slab test for every lane), then

@@ -509,7 +509,12 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
             # shadow lanes inherit the extension sort's coherence: origins
             # are the (cell-sorted) hit points, so no second sort is needed
             shadow_t = jnp.where(nee_mask, dist, -1.0)  # dead shadow lanes
-            occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
+            if cfg.debug_no_shadow:
+                # timing diagnostic (config.py): drop the any-hit dispatch
+                # to expose its share of the fused bounce program
+                occluded = jnp.zeros((n,), bool)
+            else:
+                occluded = raycaster.any_hit(shadow_ori, wi_l, shadow_t)
             rays = rays + jnp.sum(nee_mask.astype(jnp.int32))
             direct = direct + vwhere(nee_mask & ~occluded, contrib,
                                      Vec3.zeros((n,)))
