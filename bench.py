@@ -74,7 +74,8 @@ def main() -> int:
 
     # spp_batch=6 + donate_pool is the measured-best headline config
     # (BENCHMARKS §1/§4f: 6 samples/pixel per wavefront pool -> richer
-    # coherence sort, 0.4427 vs 0.4123 at spp=4; spp=6 only fits HBM at
+    # coherence sort, 0.4937 w/ one-gather shade row vs 0.4123 at spp=4
+    # pre-row; spp=6 only fits HBM at
     # 1080p with the pool carry donated across split dispatches — queue
     # 11's undonated spp=6 hit RESOURCE_EXHAUSTED). Off-TPU keep spp=4:
     # donation is a no-op there and the CPU mesh is memory-tight.
