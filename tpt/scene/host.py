@@ -157,13 +157,26 @@ class HostScene:
             # below ~10k tris the build is faster than a disk round-trip
             # (and tests churn thousands of tiny scenes) — skip the cache
             if prep_cache and self.mesh.num_triangles >= 10_000:
-                key = prepcache.fingerprint(
-                    self.mesh, builder=builder, max_cluster=max_cluster,
-                    packet_arity=packet_arity, stream_tris=str(stream_tris),
-                    stream_bytes=self.STREAM_TRIS_BYTES,
-                    treelet_max_tris=treelet_max_tris,
-                    sweep_chunk_align=sweep_chunk_align)
+                def _key(b):
+                    return prepcache.fingerprint(
+                        self.mesh, builder=b, max_cluster=max_cluster,
+                        packet_arity=packet_arity,
+                        stream_tris=str(stream_tris),
+                        stream_bytes=self.STREAM_TRIS_BYTES,
+                        treelet_max_tris=treelet_max_tris,
+                        sweep_chunk_align=sweep_chunk_align)
+
+                key = _key(builder)
                 cached = prepcache.load(key)
+                if (cached is None and bvh_builder == "auto"
+                        and builder != "sah"):
+                    # cached/prebuilt SAH tables need no native library
+                    # to LOAD — prefer them over a cold LBVH build when
+                    # the C++ builder is unavailable on this host
+                    sah_key = _key("sah")
+                    cached = prepcache.load(sah_key)
+                    if cached is not None:
+                        key = sah_key
                 if cached is not None:
                     bvh, pack, sweep = cached
             if pack is None:
