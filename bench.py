@@ -149,7 +149,8 @@ _SINGLE_SHOT_KNOBS = (
     "BENCH_SWEEP_UNROLL", "BENCH_TREELET_MT", "BENCH_SWEEP_SHADOW",
     "BENCH_SWEEP_KEY_SLOTS", "BENCH_SWEEP_GROUPS", "BENCH_SWEEP_SEED",
     "BENCH_SWEEP_CASCADE", "BENCH_SWEEP_CASCADE_FRAC", "BENCH_RR",
-    "BENCH_DONATE", "BENCH_ADAPTIVE",
+    "BENCH_DONATE", "BENCH_ADAPTIVE", "BENCH_SPLIT_SHADE",
+    "BENCH_SWEEP_PRIMARY",
 )
 
 
@@ -209,6 +210,8 @@ def _single_shot():
         # still ride the sort+sweep, but the row lands).
         adaptive_pool=os.environ.get(
             "BENCH_ADAPTIVE", "0" if rr else "1") == "1",
+        split_shade=os.environ.get("BENCH_SPLIT_SHADE") == "1",
+        sweep_primary=os.environ.get("BENCH_SWEEP_PRIMARY") == "1",
     )
     metric = HEADLINE_METRIC + ("_rr" if rr else "")
     if fast:

@@ -13,6 +13,12 @@ plus bench.py's BENCH_SWEEP_* knobs for the config under test.
 BD_NO_SHADOW=1 drops the NEE shadow any-hit from the bounce program
 (cfg.debug_no_shadow — timing diagnostic: the delta vs the default run
 is the shadow cast's share of the fused dispatch).
+BD_SPLIT=1 times cfg.split_shade's two-dispatch shape instead: the
+extension cast (sweep + wide tail) and the logic/shade/shadow program
+each get their own row — the per-stage table VERDICT r4 item 2 asks
+for. BD_PRIMARY=1 routes bounce 0 through the dense-sweep path
+(cfg.sweep_primary: scan dispatch + seeded sweep bounce) and times
+both dispatches.
 """
 
 import json
@@ -54,13 +60,16 @@ def main():
     host = procedural.fireplace_like(num_triangles=tris, resolution=res)
     scene = host.build(with_bvh=True, treelet_max_tris=treelet_mt,
                        sweep_chunk_align=max(4, unroll))
+    split = os.environ.get("BD_SPLIT") == "1"
+    primary = os.environ.get("BD_PRIMARY") == "1"
     cfg = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=depth,
                        spp_batch=spp, sweep_unroll=unroll,
                        sweep_groups=groups, sweep_key_slots=key_slots,
                        sweep_seed_mode=seed_mode, sweep_shadow=sweep_shadow,
                        debug_no_shadow=os.environ.get("BD_NO_SHADOW") == "1",
                        sweep_cascade=cascade,
-                       sweep_cascade_frac=cascade_frac)
+                       sweep_cascade_frac=cascade_frac,
+                       split_shade=split, sweep_primary=primary)
     raycaster = make_raycaster(scene, cfg)
     cam = host.camera
     vp = wavefront.camera_view_proj(cam)
@@ -94,17 +103,27 @@ def main():
         force(out)
         return out, (time.time() - t0) * 1e3
 
-    # raygen + primaries (bounce 0: wide-kernel cast, no seed)
+    # raygen + primaries (bounce 0: wide-kernel cast, no seed — or the
+    # scan + seeded-sweep pair under BD_PRIMARY=1)
     carry = start(jnp.uint32(2))
     _, t_raygen = timed(start, jnp.uint32(2))
-    (carry1, _), t_first = timed(bounce_first, vp, vp, carry)
-    rows = [dict(stage="raygen", ms=round(t_raygen, 1)),
-            dict(stage="bounce0_primaries", ms=round(t_first, 1))]
-    print(json.dumps(rows[-2])); print(json.dumps(rows[-1]))
+    rows = [dict(stage="raygen", ms=round(t_raygen, 1))]
+    if primary:
+        scan_first, bounce_first_sweep = bounce._primary_fns
+        slots0, t_scan0 = timed(scan_first, carry)
+        (carry1, _), t_first = timed(bounce_first_sweep, vp, vp, carry,
+                                     slots0)
+        rows.append(dict(stage="bounce0_scan", ms=round(t_scan0, 1)))
+        rows.append(dict(stage="bounce0_sweep", ms=round(t_first, 1)))
+    else:
+        (carry1, _), t_first = timed(bounce_first, vp, vp, carry)
+        rows.append(dict(stage="bounce0_primaries", ms=round(t_first, 1)))
+    for r in rows:
+        print(json.dumps(r))
     sys.stdout.flush()
 
     carry = carry1
-    total = t_raygen + t_first
+    total = sum(r["ms"] for r in rows)
     for d in range(1, depth):
         alive = float(jnp.mean(carry[5].astype(jnp.float32)))
         (keys, slots_raw), t_scan = timed(scan_rest, carry)
@@ -128,13 +147,23 @@ def main():
                            (~r1).astype(jnp.float32))), 4),
                        bounce_ms=round(t_bounce, 1))
             total += t_p1 + t_s2
+        elif split:
+            # two-dispatch shape: extension cast, then logic/shade/shadow
+            cast_fn, shade_fn = bounce._split_fns
+            hit, t_cast = timed(cast_fn, carry_s, skeys, packed)
+            (out, _), t_shade = timed(shade_fn, jnp.int32(d), vp, vp,
+                                      carry_s, hit)
+            row.update(cast_ms=round(t_cast, 1),
+                       shade_ms=round(t_shade, 1),
+                       bounce_ms=round(t_cast + t_shade, 1))
         else:
             (out, _), t_bounce = timed(
                 bounce_packed, jnp.int32(d), vp, vp, carry_s, skeys, packed)
             row.update(bounce_ms=round(t_bounce, 1))
         carry = out
         rows.append(row)
-        total += t_scan + t_sort + t_bounce
+        total += row["bounce_ms"] if "bounce_ms" in row else 0
+        total += t_scan + t_sort
         print(json.dumps(row))
         sys.stdout.flush()
 

@@ -59,3 +59,48 @@ class TestPrepCache:
         entry.write_bytes(b"not a pickle")
         data = host.build(with_bvh=True)  # must rebuild, not raise
         assert data.pack is not None
+
+    def test_prebuilt_asset_serves_miss_under_no_cache(
+            self, cache_env, tmp_path_factory, monkeypatch):
+        """benchmarks/prebuilt analogue: a committed table blob must be
+        consulted on a cache miss even under TPT_NO_CACHE=1 (fresh VMs
+        wipe ~/.cache but keep the repo checkout — the round-4 driver
+        bench died in exactly that gap), and serving it must be a LOAD,
+        not a rebuild."""
+        host = procedural.fireplace_like(num_triangles=12_000,
+                                         resolution=(32, 32))
+        host.build(with_bvh=True, treelet_max_tris=256)
+        (entry,) = cache_env.glob("*.pkl")
+        prebuilt = tmp_path_factory.mktemp("prebuilt")
+        (prebuilt / entry.name).write_bytes(entry.read_bytes())
+        entry.unlink()
+        monkeypatch.setenv("TPT_PREBUILT_DIR", str(prebuilt))
+        monkeypatch.setenv("TPT_NO_CACHE", "1")
+        from tpt.bvh import sah as sah_mod
+
+        def boom(*a, **k):
+            raise AssertionError("rebuilt instead of loading the asset")
+
+        monkeypatch.setattr(sah_mod, "build_sah_bvh", boom)
+        data = host.build(with_bvh=True, treelet_max_tris=256)
+        assert data.pack is not None and data.sweep is not None
+
+    def test_auto_builder_prefers_cached_sah_without_native(
+            self, cache_env, monkeypatch):
+        """bvh_builder='auto' on a host without the native library must
+        still use cached/prebuilt SAH tables (loading needs no C++)
+        rather than paying a cold LBVH build with a different key."""
+        host = procedural.fireplace_like(num_triangles=12_000,
+                                         resolution=(32, 32))
+        host.build(with_bvh=True)  # populates the cache with SAH tables
+        from tpt.scene import native as native_mod
+        from tpt.bvh import build as lbvh_mod
+
+        monkeypatch.setattr(native_mod, "available", lambda: False)
+
+        def boom(*a, **k):
+            raise AssertionError("took the cold LBVH build path")
+
+        monkeypatch.setattr(lbvh_mod, "build_lbvh", boom)
+        data = host.build(with_bvh=True)
+        assert data.pack is not None

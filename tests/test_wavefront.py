@@ -153,6 +153,40 @@ class TestRaySorting:
         assert close > 0.99, close
 
     @pytest.mark.slow
+    def test_split_shade_matches_fused(self):
+        """cfg.split_shade runs the seeded rest bounce as TWO dispatches
+        (extension cast -> HitRecord, then logic/shade/shadow) instead of
+        one fused program (VERDICT r4 item 2's per-stage seam). Same ops
+        on the same values in the same order — the hit record crossing a
+        program boundary is exact — so the render must be bit-identical
+        to the fused shape."""
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=True)
+        data = scene.build(with_bvh=True, treelet_max_tris=256)
+        base = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=3,
+                            sort_bounce_rays=True, spp_batch=2)
+        img = wavefront.render(data, scene.camera, base, iterations=2)
+        img_s = wavefront.render(data, scene.camera,
+                                 base.with_(split_shade=True), iterations=2)
+        np.testing.assert_array_equal(img_s, img)
+
+    @pytest.mark.slow
+    def test_sweep_primary_matches_wide_kernel(self):
+        """cfg.sweep_primary routes bounce 0 through the dense-sweep path
+        (raster-order scan + seeded sweep, no sort) instead of the wide
+        packet kernel. Both kernels are pinned exact against brute force
+        (test_sweep.py), so the closest hits agree; allow 1-ulp-class
+        drift in t between the two Möller-Trumbore implementations."""
+        scene = procedural.cornell_box(resolution=(24, 24), spheres=True)
+        data = scene.build(with_bvh=True, treelet_max_tris=256)
+        base = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=3,
+                            sort_bounce_rays=True, spp_batch=2)
+        img = wavefront.render(data, scene.camera, base, iterations=2)
+        img_p = wavefront.render(data, scene.camera,
+                                 base.with_(sweep_primary=True),
+                                 iterations=2)
+        np.testing.assert_allclose(img_p, img, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.slow
     def test_donate_pool_matches_default(self):
         """cfg.donate_pool threads the pool carry through the split
         dispatches as donated buffers (the HBM-peak lever for

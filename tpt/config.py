@@ -203,6 +203,22 @@ class RenderConfig:
     # any-hit tail) instead of the wide packet any-hit kernel. Default
     # off until the TPU A/B lands (shadow casts are ~15% of frame casts)
     sweep_shadow: bool = False
+    # split the seeded rest-bounce program into TWO dispatches — the
+    # extension cast (sweep + wide tail -> HitRecord) and the
+    # logic/shade/shadow program — instead of one fused 2.3-2.4 s
+    # program. ~4 ms of extra dispatch; gives the frame a per-stage
+    # timing seam (VERDICT r4 item 2: "split logic/shade/shadow out of
+    # the bounce dispatch and time the pieces"). Bit-identical to the
+    # fused program (tests/test_wavefront.py pins it); packed seed mode
+    # only — other seed modes ignore it.
+    split_shade: bool = False
+    # route bounce-0 (primary) rays through the dense-sweep path: a
+    # dense scan on the RASTER-ORDER pool (no sort — G-buffers need
+    # pixel order, and raster rays are already the sweep's best case:
+    # 128 consecutive pixels agree on their treelets) + the seeded
+    # sweep cast, instead of the wide packet kernel that costs
+    # 1.6 s/frame at the headline shape (CEILING §4 move (c)).
+    sweep_primary: bool = False
     # TIMING DIAGNOSTIC ONLY: skip the NEE shadow any-hit dispatch (treat
     # every light sample as visible). Biases the direct channel bright —
     # never a production mode; exists so sweep_breakdown can isolate the

@@ -123,7 +123,7 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
         wide_knobs = dict(group=cfg.trav_group, node_pops=cfg.trav_node_pops,
                           cluster_pops=cfg.trav_cluster_pops)
 
-        if primary_rays:
+        if primary_rays and not cfg.sweep_primary:
             # raster-coherent primaries: the wide packet kernel with the
             # primary-tuned group wins (measured 85 vs 93 ms/1M on v5e)
             prim_knobs = dict(wide_knobs, group=cfg.trav_group_primary)
@@ -134,6 +134,9 @@ def make_raycaster(scene: SceneData, cfg: RenderConfig,
                 return packet_closest_hit_wide(pack, o, d, t_max,
                                                **prim_knobs)
         else:
+            # cfg.sweep_primary routes bounce 0 here too: the caller
+            # passes scan slots for the raster-order pool (no bin sort)
+            # and the dense sweep drains tiny raster unions
             def closest(o, d, t_max=None, sweep_slots=None):
                 if t_max is None:
                     t_max = jnp.full((o.shape[0],), _FMAX)

@@ -293,10 +293,12 @@ def _bounce_body(scene: SceneData, raycaster: Raycaster, cam: Camera,
                            and do_sort and first_static is False)
         sweep_seeding = (cfg.backend == RayCastBackend.BVH_SWEEP
                          and do_sort and first_static is False)
-        if sweep_seeding and sweep_slots is not None:
-            # split mode: the caller already ran _sweep_seed_sort as its
-            # own dispatch — the carry is bin-sorted and these are its
-            # slot planes
+        if sweep_slots is not None:
+            # split mode: the caller already seeded this pool as its own
+            # dispatch — for rest bounces the carry is bin-sorted with
+            # these slot planes (_sweep_seed_sort); for bounce 0
+            # (cfg.sweep_primary) the pool is raster-order and unsorted
+            # (G-buffers need pixel order) with scan slots only
             sweep_slots_data = sweep_slots
         elif sweep_seeding:
             # fold the sweep pipeline's bin sort INTO the pool sort: the
@@ -832,6 +834,31 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                            first_static=True)
         return out, jnp.sum(out[5].astype(jnp.int32))
 
+    from ..config import RayCastBackend as _RCB
+
+    sweep_primary_on = (cfg.backend == _RCB.BVH_SWEEP and cfg.sweep_primary)
+    if sweep_primary_on:
+        # bounce 0 through the dense-sweep path (CEILING §4 move (c)):
+        # raster-order rays are the sweep's best case — one dense scan
+        # (its own dispatch; no bin sort, G-buffers need pixel order)
+        # seeds the sweep cast fused with the bounce-0 logic/shade.
+        from ..bvh.pallas_sweep import dense_scan
+
+        @jax.jit
+        def scan_first(carry):
+            ori, direction, alive = carry[0], carry[1], carry[5]
+            pre_tmax = jnp.where(alive, 3.4e38, -1.0)
+            s_t, s_o, thr = dense_scan(scene.sweep, ori, direction,
+                                       pre_tmax, slots=cfg.sweep_slots)
+            return s_o, s_t, thr
+
+        @jit_d(2, 3)
+        def bounce_first_sweep(view_proj, prev_view_proj, carry, slots):
+            out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                               prev_view_proj, jnp.int32(0), carry,
+                               first_static=True, sweep_slots=slots)
+            return out, jnp.sum(out[5].astype(jnp.int32))
+
     @jit_d(3)
     def bounce_rest(depth, view_proj, prev_view_proj, carry):
         out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
@@ -930,6 +957,30 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                                first_static=False, sweep_slots=slots)
             return out, jnp.sum(out[5].astype(jnp.int32))
 
+        # cfg.split_shade: the fused seeded bounce as TWO dispatches —
+        # extension cast (sweep + wide tail -> HitRecord) and the
+        # logic/shade/shadow program (VERDICT r4 item 2's per-stage
+        # seam). The cast donates only the seed (the shade program
+        # still needs the carry); the shade program donates the carry
+        # and the hit record.
+        @jit_d(1, 2)
+        def cast_rest_packed(carry, keys, packed):
+            from ..bvh.sweepcast import unpack_seed
+
+            slots = unpack_seed(keys, packed, scene.sweep.num_treelets,
+                                cfg.sweep_slots, cfg.sweep_key_slots)
+            ori, direction, alive = carry[0], carry[1], carry[5]
+            ext_tmax = jnp.where(alive, 3.4e38, -1.0)
+            return raycaster.closest_hit(ori, direction, ext_tmax,
+                                         sweep_slots=slots)
+
+        @jit_d(3, 4)
+        def shade_rest(depth, view_proj, prev_view_proj, carry, hit):
+            out = _bounce_body(scene, raycaster, cam, cfg, view_proj,
+                               prev_view_proj, depth, carry,
+                               first_static=False, ext_hit=hit)
+            return out, jnp.sum(out[5].astype(jnp.int32))
+
     # cascade split mode (cfg.sweep_cascade): the extension cast leaves
     # the bounce program entirely — phase-1 sweep + compaction, the
     # phase-2 bin sort (its OWN dispatch, per the sort-fusion compile
@@ -995,6 +1046,10 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
     def one_bounce(depth, view_proj, prev_view_proj, carry):
         d = int(depth)
         if d == 0:
+            if sweep_primary_on:
+                slots = scan_first(carry)
+                return bounce_first_sweep(view_proj, prev_view_proj,
+                                          carry, slots)
             return bounce_first(view_proj, prev_view_proj, carry)
         if sweep_split:
             if cfg.sweep_seed_mode == "packed":
@@ -1006,6 +1061,10 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
                     return bounce_rest_cascade(jnp.int32(depth), view_proj,
                                                prev_view_proj, carry, hit1,
                                                res1, thr, sbundle)
+                if cfg.split_shade:
+                    hit = cast_rest_packed(carry, keys, packed)
+                    return shade_rest(jnp.int32(depth), view_proj,
+                                      prev_view_proj, carry, hit)
                 return bounce_rest_sweep_packed(jnp.int32(depth), view_proj,
                                                 prev_view_proj, carry, keys,
                                                 packed)
@@ -1024,6 +1083,11 @@ def _make_bounce_fn(scene: SceneData, raycaster: Raycaster, cam: Camera,
         one_bounce._jit_fns += (scan_rest, sort_rest, sort_lean,
                                 sort_packed, bounce_rest_sweep,
                                 bounce_rest_sweep_packed)
+        one_bounce._split_fns = (cast_rest_packed, shade_rest)
+        one_bounce._jit_fns += (cast_rest_packed, shade_rest)
+    if sweep_primary_on:
+        one_bounce._primary_fns = (scan_first, bounce_first_sweep)
+        one_bounce._jit_fns += (scan_first, bounce_first_sweep)
     if cascade_on:
         one_bounce._jit_fns += (cascade_pre, cascade_sort_d,
                                 bounce_rest_cascade)
