@@ -70,6 +70,10 @@ def main():
     for scale in scales:
         prev = make_preview_renderer(full, scale=scale, mode=pmode)
         prev.pipeline = pipeline
+        if os.environ.get("PF_U8") == "0":
+            # A/B the device-tonemap u8 fetch (display_u8, default ON via
+            # make_preview_renderer) against the old f32 plane fetch
+            prev.display_u8 = False
         yaw, pitch = yaw_pitch_from_view(
             np.asarray(host.camera.view, np.float64))
 
@@ -100,11 +104,46 @@ def main():
         print(json.dumps({
             "metric": (f"preview_nav_frame s{scale} {pw}x{ph} d{depth}"
                        + (f" {engine}" if engine != "wave" else "")
-                       + (" pip" if pipeline else "")),
+                       + (" pip" if pipeline else "")
+                       + ("" if prev.display_u8 else " f32")),
             "value": round(ms, 1), "unit": "ms",
             "fps": round(1e3 / ms, 1),
         }))
         sys.stdout.flush()
+
+        if os.environ.get("PF_PROBE") == "1" and pmode is not None:
+            # decompose the nav frame (VERDICT r4 item 7: compute vs
+            # relay): compute+sync via a 1-element fetch, then the
+            # display fetch at f32 and u8 widths. Fresh device arrays
+            # each rep — jax caches a fetched array's host copy.
+            import jax.numpy as jnp
+
+            step, camv = prev._mega_step, prev._camv
+            acc = step(jnp.uint32(999), prev.acc_mega, camv=camv)
+            np.asarray(acc.x.ravel()[0])
+            t1 = time.time()
+            reps = 5
+            for k in range(reps):
+                acc = step(jnp.uint32(1000 + k), acc, camv=camv)
+                np.asarray(acc.x.ravel()[0])
+            compute_ms = (time.time() - t1) / reps * 1e3
+            img32 = (acc * (1.0 / 8)).stacked()
+            np.asarray(img32 * 1.0)
+            t1 = time.time()
+            for _ in range(reps):
+                np.asarray(img32 * 1.0)  # tiny mul keeps the fetch fresh
+            f32_ms = (time.time() - t1) / reps * 1e3
+            np.asarray(prev._u8_fn(img32))
+            t1 = time.time()
+            for _ in range(reps):
+                np.asarray(prev._u8_fn(img32))
+            u8_ms = (time.time() - t1) / reps * 1e3
+            print(json.dumps({
+                "metric": f"preview_probe s{scale} {pw}x{ph} d{depth}",
+                "compute_sync_ms": round(compute_ms, 1),
+                "fetch_f32_ms": round(f32_ms, 1),
+                "fetch_u8_ms": round(u8_ms, 1)}))
+            sys.stdout.flush()
 
     # the rest state: one full-res accumulation frame
     t0 = time.time()

@@ -175,6 +175,24 @@ class TestFramePipelining:
         first = pip.frame()  # must be frame 1 again, not stale frame 2
         np.testing.assert_array_equal(first, ref.frame())
 
+    def test_display_u8_matches_host_tonemap(self, cornell):
+        """Renderer.display_u8 moves clip + 1/gamma + quantize onto the
+        device (the nav preview's 4x-smaller relay fetch). Must match
+        the host-side io.image.tonemap of the f32 frame to 1 LSB (pow
+        then round on two float pipelines)."""
+        from tpt.io.image import tonemap
+
+        ref, u8 = self._renderers(cornell, RenderMode.MEGAKERNEL)
+        u8.display_u8 = True
+        f32 = ref.frame()
+        got = u8.frame()
+        assert got.dtype == np.uint8
+        want = tonemap(f32, gamma=ref.cfg.gamma)
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+        # and the u8 passthrough: tonemap must not re-gamma it
+        np.testing.assert_array_equal(tonemap(got), got)
+
     def test_pending_survives_camera_move(self, cornell):
         """The nav hot path: move_camera() every frame (same resolution).
         The in-flight frame must survive the move — call k+1 returns the

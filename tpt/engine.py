@@ -55,6 +55,16 @@ class Renderer:
         # renders while the host displays — hides one relay round-trip per
         # frame at the cost of one frame of display latency
         self.pipeline = False
+        # opt-in device-side tonemap: frame() returns display-ready uint8
+        # (clip + 1/gamma + quantize run ON DEVICE), fetching 1/4 the
+        # bytes over the relay and skipping the host-side pow() on this
+        # 1-core host. io.image.tonemap passes u8 through, so viewers
+        # need no changes beyond setting the flag (the nav preview does).
+        self.display_u8 = False
+        self._u8_fn = jax.jit(
+            lambda x: (jnp.clip(jnp.nan_to_num(x), 0.0, 1.0)
+                       ** (1.0 / cfg.gamma) * 255.0 + 0.5
+                       ).astype(jnp.uint8))
         self.reset()
 
         self._camv = camera_arrays(cam)
@@ -164,9 +174,15 @@ class Renderer:
             else:
                 img_dev = self._display_device(out)
 
+        if (self.display_u8 and img_dev is not None
+                and not isinstance(img_dev, np.ndarray)):
+            img_dev = self._u8_fn(img_dev)
+
         if self.pipeline and img_dev is not None:
             # swap: return the previous dispatch's frame; this one stays
             # in flight on the device until the next call fetches it
+            # (u8 conversion above happens pre-swap, so the pending slot
+            # holds the small display buffer, not the f32 plane)
             prev = self._pending
             self._pending = (img_dev, rays, (h, w))
             if prev is not None:

@@ -14,8 +14,14 @@ import numpy as np
 
 
 def tonemap(img: np.ndarray, gamma: float = 2.2) -> np.ndarray:
-    """Linear radiance [H,W,3] float -> uint8 sRGB-ish with pow(1/gamma)."""
-    img = np.clip(np.nan_to_num(np.asarray(img, np.float32)), 0.0, 1.0)
+    """Linear radiance [H,W,3] float -> uint8 sRGB-ish with pow(1/gamma).
+    uint8 input passes through: it is already display-ready (the device-
+    side tonemap path — engine.Renderer.display_u8 — fetches gamma'd u8
+    over the relay at 1/4 the f32 bytes)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    img = np.clip(np.nan_to_num(img.astype(np.float32)), 0.0, 1.0)
     img = np.power(img, 1.0 / gamma)
     return (img * 255.0 + 0.5).astype(np.uint8)
 

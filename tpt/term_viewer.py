@@ -67,7 +67,12 @@ def ansi_frame(img: np.ndarray, cols: int, rows: int,
     """Render linear-radiance [H,W,3] as `rows` terminal lines of `cols`
     half-block cells (2 pixels per cell vertically). Emits truecolor SGR
     codes, re-issuing fg/bg only when they change along a line."""
-    px = tonemap(_downsample(np.asarray(img, np.float32), 2 * rows, cols),
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        # device-tonemapped u8 frame (engine.Renderer.display_u8):
+        # gamma is already applied — only downsample + quantize remain
+        img, gamma = img.astype(np.float32) / 255.0, 1.0
+    px = tonemap(_downsample(img.astype(np.float32), 2 * rows, cols),
                  gamma)
     out = []
     for r in range(rows):

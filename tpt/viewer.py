@@ -51,7 +51,11 @@ def make_preview_renderer(renderer: Renderer, scale: int = 4,
     if nav_depth > 0:
         kw["trace_depth"] = min(nav_depth, renderer.cfg.trace_depth)
     cfg = renderer.cfg.with_(**kw) if kw else renderer.cfg
-    return Renderer(renderer.scene, small, cfg)
+    preview = Renderer(renderer.scene, small, cfg)
+    # nav frames fetch display-ready u8 (1/4 the relay bytes, no host
+    # pow) — the preview is display-only, so nothing downstream needs f32
+    preview.display_u8 = True
+    return preview
 
 
 def yaw_pitch_from_view(view) -> tuple:
