@@ -263,6 +263,12 @@ class RenderConfig:
         kw.setdefault("spp_batch", 4)
         kw.setdefault("russian_roulette", True)
         kw.setdefault("rr_start_bounce", 3)
+        # RR kills lanes, so the adaptive-pool ladder ENGAGES — and every
+        # rung is its own cold-compile of the full bounce-program set
+        # (five bench timeouts across rounds 3-5 before this was pinned).
+        # Measured row (BENCHMARKS §1: 0.6232 Mpaths/s, 1.37x parity) is
+        # ladder-off; flip it back on only with pre-warmed rung programs.
+        kw.setdefault("adaptive_pool", False)
         return cls(**kw)
 
     @classmethod
