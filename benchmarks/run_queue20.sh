@@ -32,11 +32,23 @@ run probe 600 python -c "import jax, jax.numpy as jnp; print(jax.devices()); pri
 
 # 1. headline verify + cache warm (cold class: ~300 s scene prep + ~780 s compile)
 run bench_headline 3000 python bench.py
+rc1=$?
 
 # 2. RR row at the spp4 compile class (scene prep now cached)
 run bench_rr_spp4 2700 env BENCH_RR=1 BENCH_SPP=4 BENCH_DONATE=0 python bench.py
+rc2=$?
 
-# 3. RR at the headline shape
-run bench_rr_spp6 3000 env BENCH_RR=1 python bench.py
+# 3. RR at the headline shape — only if 1+2 left queue time (i.e. landed)
+if [ $rc1 -eq 0 ] && [ $rc2 -eq 0 ]; then
+  run bench_rr_spp6 3000 env BENCH_RR=1 python bench.py
+  rc3=$?
+else
+  echo "skipping bench_rr_spp6 (rc1=$rc1 rc2=$rc2)" | tee -a /tmp/q20_status.log
+  rc3=1
+fi
 
+if [ $rc1 -ne 0 ] && [ $rc2 -ne 0 ] && [ $rc3 -ne 0 ]; then
+  echo "QUEUE20 FAILED: every bench row nonzero $(date -u)" | tee -a /tmp/q20_status.log
+  exit 1
+fi
 echo "QUEUE20 DONE $(date -u)" | tee -a /tmp/q20_status.log
