@@ -37,7 +37,12 @@ run bench_rr_spp6 3100 env BENCH_RR=1 BENCH_SPP=6 BENCH_DONATE=1 BENCH_BUDGET_S=
 # 2. RR at spp4 with the ladder ON (rung-program compile may partially hit)
 run bench_rr_ladder 3100 env BENCH_RR=1 BENCH_SPP=4 BENCH_DONATE=0 BENCH_ADAPTIVE=1 BENCH_BUDGET_S=3050 python bench.py
 
-# 3. fresh-VM simulation rerun (validates the final committed seed)
+# 3. preview nav re-run with the fused display dispatch + lazy reset
+#    (engine changes landed AFTER queue 22's preview rows: the u8 path
+#    there paid an extra per-frame dispatch and eager display math)
+run preview_u8_v2 1800 env PF_ENGINE=mega PF_PIPELINE=1 PF_DEPTH=2 PF_SCALES="8 12" PF_PROBE=1 python benchmarks/preview_fps.py
+
+# 4. fresh-VM simulation rerun (validates the final committed seed)
 rm -rf /tmp/simvm2_xla /tmp/simvm2_scene
 run freshvm_sim2 1600 env TPT_CACHE_DIR=/tmp/simvm2_xla TPT_SCENE_CACHE_DIR=/tmp/simvm2_scene timeout 1500 python bench.py
 

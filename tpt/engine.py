@@ -61,10 +61,18 @@ class Renderer:
         # 1-core host. io.image.tonemap passes u8 through, so viewers
         # need no changes beyond setting the flag (the nav preview does).
         self.display_u8 = False
-        self._u8_fn = jax.jit(
-            lambda x: (jnp.clip(jnp.nan_to_num(x), 0.0, 1.0)
-                       ** (1.0 / cfg.gamma) * 255.0 + 0.5
-                       ).astype(jnp.uint8))
+        _tm = lambda x: (jnp.clip(jnp.nan_to_num(x), 0.0, 1.0)
+                         ** (1.0 / cfg.gamma) * 255.0 + 0.5
+                         ).astype(jnp.uint8)
+        self._u8_fn = jax.jit(_tm)
+        # megakernel display math fused into ONE program per flavor:
+        # eager `(acc * inv).stacked()` + the u8 pass is 4-5 separate
+        # tiny dispatches, each paying the relay's submit latency — on
+        # the nav hot path that chatter rivals the render itself
+        # (queue 22 preview probe)
+        self._disp_mega_f32 = jax.jit(lambda acc, inv: (acc * inv).stacked())
+        self._disp_mega_u8 = jax.jit(
+            lambda acc, inv: _tm((acc * inv).stacked()))
         self.reset()
 
         self._camv = camera_arrays(cam)
@@ -81,17 +89,28 @@ class Renderer:
     def reset(self):
         """Camera moved / first frame: clear accumulation (the reference
         re-inits the whole tracer — main.cpp:310-321; here it is just
-        zeroing pytrees)."""
+        zeroing pytrees). Allocation is LAZY: move_camera calls reset()
+        on EVERY nav move, and the viewers move BOTH engines per frame —
+        eager device zeros cost a relay dispatch per plane for a full-res
+        engine that will not render until the camera rests (queue 22
+        preview probe: the nav frame's non-compute share is host
+        dispatch chatter)."""
+        self.iteration = 0
+        self._state_alloc = False
+        # a pending pipelined frame predates the reset (and possibly the
+        # resolution) — drop it
+        self._pending = None
+
+    def _ensure_state(self):
+        if getattr(self, "_state_alloc", False):
+            return
         n = self.cam.num_pixels
         h, w = self._shape
-        self.iteration = 0
         self.acc_direct = Vec3.zeros((n,))
         self.acc_indirect = Vec3.zeros((n,))
         self.acc_mega = Vec3.zeros((n,))
         self.svgf_state = SVGFState.zeros(h, w)
-        # a pending pipelined frame predates the reset (and possibly the
-        # resolution) — drop it
-        self._pending = None
+        self._state_alloc = True
 
     def move_camera(self, cam: Camera):
         """Re-target the camera: a ZERO-RECOMPILE state update when the
@@ -147,6 +166,7 @@ class Renderer:
         # accumulator normalization below stays exact
         step = (1 if self.cfg.mode == RenderMode.MEGAKERNEL
                 else max(1, self.cfg.spp_batch))
+        self._ensure_state()
         it = jnp.uint32(self.iteration + 1)
         self.iteration += step
         h, w = self._shape
@@ -155,7 +175,10 @@ class Renderer:
         if self.cfg.mode == RenderMode.MEGAKERNEL:
             self.acc_mega = self._mega_step(it, self.acc_mega,
                                             camv=self._camv)
-            img_dev = (self.acc_mega * (1.0 / self.iteration)).stacked()
+            inv = 1.0 / self.iteration
+            img_dev = (self._disp_mega_u8(self.acc_mega, inv)
+                       if self.display_u8
+                       else self._disp_mega_f32(self.acc_mega, inv))
             rays = self.cam.num_pixels * self.cfg.trace_depth
         else:
             if self.gui.denoiser_on:
@@ -175,7 +198,8 @@ class Renderer:
                 img_dev = self._display_device(out)
 
         if (self.display_u8 and img_dev is not None
-                and not isinstance(img_dev, np.ndarray)):
+                and not isinstance(img_dev, np.ndarray)
+                and img_dev.dtype != jnp.uint8):
             img_dev = self._u8_fn(img_dev)
 
         if self.pipeline and img_dev is not None:
@@ -220,6 +244,7 @@ class Renderer:
     def save_checkpoint(self, path: str):
         """Snapshot render state (accumulators, SVGF history, iteration) —
         the pytree-state design makes resume trivial (SURVEY.md §5)."""
+        self._ensure_state()
         flat = {}
         for name, tree in (("acc_direct", self.acc_direct),
                            ("acc_indirect", self.acc_indirect),
@@ -232,6 +257,7 @@ class Renderer:
         np.savez_compressed(path, **flat)
 
     def load_checkpoint(self, path: str):
+        self._ensure_state()
         data = np.load(path)
         self.iteration = int(data["iteration"])
 
