@@ -17,8 +17,9 @@ SIGTERM/SIGINT or when the elapsed budget (BENCH_BUDGET_S, default
 
   1. scene prep from the committed blob in benchmarks/prebuilt/
      (~seconds; a cold host build is 306-1686 s — what killed BENCH_r04)
-  2. smoke row (256x144, 18.5k tris, depth 4) — worst-case first JSON
-     line within a couple of minutes even with a fully cold XLA cache
+  2. smoke row (256x144, 18.5k tris, depth 4, XLA-oracle backend: one
+     fused program, 14.8 s compile measured fully cold) — the
+     guaranteed first JSON line lands ~2 minutes into a cold run
   3. spp4/undonated production row at 1080p (the cheapest production
      compile class; round 3 measured 0.3959 here)
   4. spp6+donate headline (0.4937 measured in round 4) — only entered
@@ -233,24 +234,26 @@ def _staged(deadline):
 
     remaining = lambda: deadline - time.time()  # noqa: E731
 
-    # Stage 1+2: smoke row — the worst-case "first parseable line".
-    # ~15 s fully warm, a couple of minutes with a cold XLA cache.
-    # (20k requested -> 18,500 actual tris; must match the prebuilt key)
+    # Stage 1+2: smoke row — the guaranteed "first parseable line", on
+    # the XLA-oracle backend: ONE fused program, no Mosaic kernels —
+    # 14.8 s compile measured FULLY COLD (2026-08-20) vs 400-600 s for
+    # the sweep-backend smoke. Runs slow (~6.4 s/frame at 256×144) but
+    # a canary's runtime is irrelevant; the line lands ~2 min into a
+    # cold run. (20k requested -> 18,500 actual tris; must match the
+    # prebuilt key.)
     host_s, data_s = _prep_scene(20_000, (256, 144))
-    cfg_s = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=4,
+    cfg_s = RenderConfig(backend=RayCastBackend.BVH_XLA, trace_depth=4,
                          spp_batch=1, donate_pool=False)
-    smoke_compile = _measure(host_s, data_s, cfg_s, 2,
-                             "wavefront_throughput_smoke_256x144_18k_tris")
+    _measure(host_s, data_s, cfg_s, 1,
+             "wavefront_throughput_smoke_256x144_18k_tris")
     del host_s, data_s
 
-    # Stage 3: spp4/undonated production row (cheapest production compile
-    # class — round 3's 608 s cold / ~45-90 s warm; frames ~30 s each).
-    # The smoke compile time tells us whether the XLA cache is warm.
-    cold = smoke_compile > 60
-    est_spp4 = (700 if cold else 150) + 2 * 35
-    if remaining() < est_spp4 * 0.6:
-        _log(f"skipping 1080p rows: {remaining():.0f}s left < "
-             f"{est_spp4 * 0.6:.0f}s floor")
+    # Stage 3: spp4/undonated production row (cheapest production
+    # compile class — ~600-680 s cold / ~45-90 s warm; frames ~30 s
+    # each). Attempt whenever any plausible budget remains — the
+    # watchdog flushes the smoke row if the compile runs long.
+    if remaining() < 300:
+        _log(f"skipping 1080p rows: {remaining():.0f}s left")
         return
     host, data = _prep_scene(143_000, (1920, 1080))
     cfg4 = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=8,
