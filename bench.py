@@ -255,9 +255,12 @@ def _staged(deadline):
     if remaining() < 300:
         _log(f"skipping 1080p rows: {remaining():.0f}s left")
         return
-    host, data = _prep_scene(143_000, (1920, 1080))
+    # unroll-8 sweep kernel is the round-5 production config (queue 24:
+    # 0.473 at spp4 vs 0.4567 u4; 0.512 headline vs 0.4949) — it needs
+    # chunk_align=8 tables (benchmarks/prebuilt ships that blob too)
+    host, data = _prep_scene(143_000, (1920, 1080), sweep_align=8)
     cfg4 = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=8,
-                        spp_batch=4, donate_pool=False)
+                        spp_batch=4, donate_pool=False, sweep_unroll=8)
     spp4_compile = _measure(host, data, cfg4, 2, HEADLINE_METRIC)
 
     # Stage 4: spp6+donate headline — a different (more expensive)
@@ -268,7 +271,7 @@ def _staged(deadline):
              f"{est_spp6:.0f}s estimated for the spp6 class")
         return
     cfg6 = RenderConfig(backend=RayCastBackend.BVH_SWEEP, trace_depth=8,
-                        spp_batch=6, donate_pool=True)
+                        spp_batch=6, donate_pool=True, sweep_unroll=8)
     _measure(host, data, cfg6, 3, HEADLINE_METRIC)
 
 
