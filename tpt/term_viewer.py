@@ -171,7 +171,7 @@ def run_term_viewer(renderer: Renderer, max_frames: int = 0,
     from .config import RenderMode
 
     # Same nav operating point as the GUI viewer: fused megakernel
-    # preview at depth 2 (BENCHMARKS §7b — 6.2 FPS at 240x135 on v5e).
+    # preview at depth 2 (BENCHMARKS §7b — 12.3 FPS at 240x135 on v5e).
     preview = (make_preview_renderer(renderer, preview_scale,
                                      mode=RenderMode.MEGAKERNEL,
                                      nav_depth=2)

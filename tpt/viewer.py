@@ -145,7 +145,8 @@ def run_viewer(renderer: Renderer, max_frames: int = 0,
     mirroring the reference key bindings (main.cpp:347-408). While the
     camera moves, frames come from a 1/preview_scale-resolution
     depth-2 MEGAKERNEL engine (the measured v5e operating point:
-    240x135 @ 6.2 FPS from 1080p, BENCHMARKS §7b) for responsive
+    240x135 @ 12.3 FPS from 1080p — pipelined device-u8 fetch + fused
+    display dispatch, BENCHMARKS §7b) for responsive
     navigation; set preview_scale=1 to disable."""
     if interactive is None:
         interactive = bool(os.environ.get("DISPLAY"))
