@@ -21,14 +21,17 @@ SIGTERM/SIGINT or when the elapsed budget (BENCH_BUDGET_S, default
      fused program, 14.8 s compile measured fully cold) — the
      guaranteed first JSON line lands ~2 minutes into a cold run
   3. spp4/undonated production row at 1080p (the cheapest production
-     compile class; round 3 measured 0.3959 here)
-  4. spp6+donate headline (0.4937 measured in round 4) — only entered
+     compile class; 0.473 at the round-5 unroll-8 config)
+  4. spp6+donate headline (0.512 measured in round 5) — only entered
      when the remaining budget covers its compile class
 
 The committed prebuilt assets (scene tables + prewarmed XLA cache
 entries, see tpt/scene/prepcache.py and tpt/utils/cache.py) make a
-fresh-VM run warm: ~10 s prep + ~90 s compile. TPT_NO_PREBUILT=1
-measures the true cold path.
+fresh-VM run warm: ~10 s prep + ~90 s compile — the XLA seed is
+best-effort (compile-cache keys rotate with the TPU relay session,
+BENCHMARKS §6c); the staged rows are the cold guarantee (validated:
+fully-cold run landed the spp4 row at +1146 s, exit 0).
+TPT_NO_PREBUILT=1 measures the true cold path.
 
 Env knobs (any of these switches to single-shot mode, for the queue
 scripts' A/B rows): BENCH_FRAMES, BENCH_FAST=1 (tiny scene, smoke only),
